@@ -1,0 +1,120 @@
+"""Two-dialect SQL rendering: Spark SQL and DuckDB.
+
+Every deterministic synthetic derivation (and every SQL-expressible
+operator) is written ONCE as a template using the ``D(dialect)`` helpers
+below, then rendered for Spark (the engine) and DuckDB (the correctness
+oracle). Keeping one source of truth for both engines is what makes the
+value-hash comparison in CORRECTNESS_r{N}.json meaningful: any divergence
+is an engine bug, not a transcription bug.
+
+Only integer-exact or bit-identical IEEE-double arithmetic is used in the
+templates (same expression tree on both sides), so results match exactly.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+class D:
+    """Dialect-specific SQL snippets."""
+
+    def __init__(self, dialect: str):
+        assert dialect in (SPARK, DUCK)
+        self.d = dialect
+
+    # identifier quoting (``offset`` is reserved in DuckDB)
+    def q(self, name: str) -> str:
+        return f"`{name}`" if self.d == SPARK else f'"{name}"'
+
+    # integer floor-division of non-negative ints
+    def idiv(self, a: str, b: str) -> str:
+        return f"({a} div {b})" if self.d == SPARK else f"({a} // {b})"
+
+    # date +/- integer days
+    def date_add(self, date_expr: str, days_expr: str) -> str:
+        if self.d == SPARK:
+            return f"date_add({date_expr}, CAST({days_expr} AS INT))"
+        return f"({date_expr} + CAST({days_expr} AS INT))"
+
+    def date_diff_days(self, end: str, start: str) -> str:
+        if self.d == SPARK:
+            return f"datediff({end}, {start})"
+        return f"datediff('day', {start}, {end})"
+
+    # date -> 'YYYY-MM-DD' string
+    def date_str(self, date_expr: str) -> str:
+        if self.d == SPARK:
+            return f"date_format({date_expr}, 'yyyy-MM-dd')"
+        return f"strftime({date_expr}, '%Y-%m-%d')"
+
+    # date -> 'YYYYMMDD' compact token
+    def date_token(self, date_expr: str) -> str:
+        if self.d == SPARK:
+            return f"date_format({date_expr}, 'yyyyMMdd')"
+        return f"strftime({date_expr}, '%Y%m%d')"
+
+    def parse_date_token(self, s: str) -> str:
+        """'YYYYMMDD' string -> date."""
+        if self.d == SPARK:
+            return f"to_date({s}, 'yyyyMMdd')"
+        return f"strptime({s}, '%Y%m%d')::DATE"
+
+    # printf-style formatting
+    def fmt(self, fmt: str, *args: str) -> str:
+        fn = "format_string" if self.d == SPARK else "printf"
+        return f"{fn}('{fmt}', {', '.join(args)})"
+
+    def split_ws(self, s: str) -> str:
+        return f"split({s}, ' ')" if self.d == SPARK else f"string_split({s}, ' ')"
+
+    def arr_len(self, a: str) -> str:
+        return f"size({a})" if self.d == SPARK else f"len({a})"
+
+    def list_filter_in(self, arr: str, values: list[str]) -> str:
+        """count of array elements in a literal set"""
+        lits = ", ".join(f"'{v}'" for v in values)
+        if self.d == SPARK:
+            return f"size(filter({arr}, x -> x IN ({lits})))"
+        return f"len(list_filter({arr}, x -> x IN ({lits})))"
+
+    def regexp_count(self, s: str, pattern: str) -> str:
+        if self.d == SPARK:
+            return f"size(regexp_extract_all({s}, '{pattern}', 0))"
+        return f"len(regexp_extract_all({s}, '{pattern}', 0))"
+
+    def rolling_hash(self, s: str, mod: int = 1000000007) -> str:
+        """Polynomial rolling hash over the characters of a string —
+        pure 64-bit integer arithmetic, identical in both engines.
+        acc := (acc*31 + codepoint(c)) % mod.
+        """
+        if self.d == SPARK:
+            return (
+                f"aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+                f"(acc, c) -> (acc * 31 + CAST(ascii(c) AS BIGINT)) % {mod})"
+            )
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod})"
+        )
+
+    # table-generating: explode an integer sequence [start..stop] step,
+    # produced as "<from_clause>" fragment with alias col
+    def explode_seq(self, start: str, stop: str, step: str, alias: str) -> str:
+        """Fragment usable after a FROM <tbl>: lateral sequence explode."""
+        if self.d == SPARK:
+            return (
+                f"LATERAL VIEW explode(sequence(CAST({start} AS BIGINT), "
+                f"CAST({stop} AS BIGINT), CAST({step} AS BIGINT))) _t_{alias} AS {alias}"
+            )
+        # DuckDB 1.0 cannot lateral-join generate_series on a column; the
+        # parallel-unnest-zip form must be placed in SELECT instead. Callers
+        # that need DuckDB lateral sequences use select_unnest_seq().
+        raise NotImplementedError("use select_unnest_seq for duck")
+
+    def select_unnest_seq(self, start: str, stop: str, step: str) -> str:
+        """Expression usable in SELECT (DuckDB zips parallel unnests)."""
+        assert self.d == DUCK
+        return f"unnest(generate_series({start}, {stop}, {step}))"
