@@ -43,6 +43,10 @@ class D:
             return f"datediff({end}, {start})"
         return f"datediff('day', {start}, {end})"
 
+    # 'YYYY-MM-DD' string -> date
+    def to_date(self, s: str) -> str:
+        return f"to_date({s})" if self.d == SPARK else f"CAST({s} AS DATE)"
+
     # date -> 'YYYY-MM-DD' string
     def date_str(self, date_expr: str) -> str:
         if self.d == SPARK:

@@ -1,0 +1,74 @@
+"""Grid-cell spatial index (H3/S2 analogue, pure column math).
+
+The reference has no spatial index — it brute-forces per-pixel rasterization
+(/root/reference/terrakit/download/download_data.py:371-394). The index is
+our scaling device (SURVEY.md §7): points key to the 1-degree cell containing
+them; polygons/bboxes explode to their cover cells; spatial joins become
+cell equi-joins (broadcast or shuffled hash) followed by an exact refine.
+
+Everything here is Spark column expressions (JVM codegen, no Python):
+cell = floor(lon+180)*180 + floor(lat+90), matching synth.cell_expr so the
+DuckDB oracle computes the identical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CELL_DEG = 1.0
+N_Y = 180  # lat cells
+
+
+def cell_x(lon: Column) -> Column:
+    return F.floor(lon + F.lit(180.0)).cast("long")
+
+
+def cell_y(lat: Column) -> Column:
+    return F.floor(lat + F.lit(90.0)).cast("long")
+
+
+def cell_id(lon: Column, lat: Column) -> Column:
+    return cell_x(lon) * N_Y + cell_y(lat)
+
+
+def with_point_cell(df: DataFrame, lon: str, lat: str, out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_id(F.col(lon), F.col(lat)))
+
+
+def with_cover_cells(
+    df: DataFrame,
+    xmin: str,
+    ymin: str,
+    xmax: str,
+    ymax: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Explode a bbox row to one row per covered 1-degree cell.
+
+    Cover-cell count is bounded by the bbox size (our synthetic polygons
+    cover <= 2x2 cells; scene footprints <= 7x7). At 10^12 scale this is the
+    polygon-side fanout of the spatial join; the exploded table is still
+    small relative to the point side and is what gets broadcast."""
+    cx_lo = cell_x(F.col(xmin))
+    cx_hi = cell_x(F.col(xmax))
+    cy_lo = cell_y(F.col(ymin))
+    cy_hi = cell_y(F.col(ymax))
+    return (
+        df.withColumn("_cx", F.explode(F.sequence(cx_lo, cx_hi)))
+        .withColumn("_cy", F.explode(F.sequence(cy_lo, cy_hi)))
+        .withColumn(out, F.col("_cx") * N_Y + F.col("_cy"))
+        .drop("_cx", "_cy")
+    )
+
+
+def with_salt(df: DataFrame, cell: str, n_salts: int, key: Column, out: str = "salt") -> DataFrame:
+    """Hotspot-cell salting: split one hot cell's rows across n_salts shuffle
+    keys. The polygon side replicates per salt (explode), the point side
+    hashes into one salt — the classic skew-salting pattern the north rule
+    asks for. Used when the polygon side is too big to broadcast."""
+    return df.withColumn(out, F.pmod(F.xxhash64(key), F.lit(n_salts)))
+
+
+def replicate_salts(df: DataFrame, n_salts: int, out: str = "salt") -> DataFrame:
+    return df.withColumn(out, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

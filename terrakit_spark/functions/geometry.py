@@ -1,0 +1,103 @@
+"""Vectorized geometry kernels (Arrow pandas UDFs, numpy inside).
+
+- point_in_polygon: even-odd ray-cast, the exact test the reference gets
+  from rasterio.features.rasterize's point sampling
+  (/root/reference/terrakit/download/download_data.py:371-394). Vectorized
+  across the batch AND across polygon edges; handles ragged vertex lists by
+  padding with the last vertex (degenerate padded edges contribute nothing
+  to the crossing count).
+- rasterize_polygons: burn a list of (polygon, class) onto a pixel grid in
+  geometry-sequence order — later shapes overwrite earlier ones, matching
+  rasterio's default burn order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+def _pad_vertices(verts: pd.Series) -> np.ndarray:
+    """Ragged list<double> [x0,y0,x1,y1,...] -> (n, max_nv, 2) float64,
+    padded by repeating the last vertex."""
+    arrs = [np.asarray(v, dtype=np.float64).reshape(-1, 2) for v in verts]
+    max_nv = max((a.shape[0] for a in arrs), default=0)
+    out = np.empty((len(arrs), max_nv, 2), dtype=np.float64)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0]] = a
+        if a.shape[0] < max_nv:
+            out[i, a.shape[0] :] = a[-1]
+    return out
+
+
+def ray_cast(px: np.ndarray, py: np.ndarray, polys: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast. px, py: (n,); polys: (n, m, 2). Returns (n,) bool.
+    Fully vectorized: loops only over the m polygon edges (m is small —
+    quads here), never over the n rows."""
+    n, m, _ = polys.shape
+    inside = np.zeros(n, dtype=bool)
+    xj = polys[:, m - 1, 0]
+    yj = polys[:, m - 1, 1]
+    for i in range(m):
+        xi = polys[:, i, 0]
+        yi = polys[:, i, 1]
+        cond = (yi > py) != (yj > py)
+        # guard /0 with where; cond is False whenever yj == yi
+        denom = np.where(yj == yi, 1.0, yj - yi)
+        xcross = (xj - xi) * (py - yi) / denom + xi
+        inside ^= cond & (px < xcross)
+        xj, yj = xi, yi
+    return inside
+
+
+def _pip_fn(px: pd.Series, py: pd.Series, verts: pd.Series) -> pd.Series:
+    if len(px) == 0:
+        return pd.Series([], dtype=bool)
+    polys = _pad_vertices(verts)
+    return pd.Series(ray_cast(px.to_numpy(np.float64), py.to_numpy(np.float64), polys))
+
+
+_pip_udf = None
+
+
+def point_in_polygon(px, py, verts):
+    """Column expression: ray-cast PIP as an Arrow pandas UDF (lazily built —
+    pandas_udf needs an active SparkSession to parse its return type)."""
+    global _pip_udf
+    if _pip_udf is None:
+        _pip_udf = pandas_udf(_pip_fn, "boolean")
+    return _pip_udf(px, py, verts)
+
+
+def rasterize_polygons(
+    width: int,
+    height: int,
+    xmin: float,
+    ymax: float,
+    res: float,
+    polys: list[np.ndarray],
+    classes: list[int],
+    fill: int = 0,
+) -> np.ndarray:
+    """Burn polygons (already ordered by geom_seq) onto the pixel grid.
+    Pixel (row y, col x) center = (xmin + (x+0.5)*res, ymax - (y+0.5)*res)
+    — north-up geotransform like the reference's rasters. Later polygons
+    overwrite earlier ones (rasterio default)."""
+    img = np.full((height, width), fill, dtype=np.int32)
+    xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
+    ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res
+    gx = np.broadcast_to(xs, (height, width)).ravel()
+    gy = np.repeat(ys, width)
+    for poly, cls in zip(polys, classes):
+        # clip to polygon bbox for speed
+        bx0, by0 = poly.min(axis=0)
+        bx1, by1 = poly.max(axis=0)
+        sel = (gx >= bx0) & (gx <= bx1) & (gy >= by0) & (gy <= by1)
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        sub = ray_cast(gx[idx], gy[idx], np.broadcast_to(poly, (idx.size,) + poly.shape))
+        flat = img.ravel()
+        flat[idx[sub]] = cls
+    return img

@@ -1,0 +1,111 @@
+"""J2 — cell-indexed spatial join (point x polygon).
+
+The reference's only true spatial join is the per-pixel rasterize
+(/root/reference/terrakit/download/download_data.py:326-396) — an O(pixels x
+polygons) Python-side loop. Here it becomes:
+
+  polygons --explode--> cover cells  (small side; broadcast, or salted
+                                      shuffle-hash when too big)
+  points   --keyed by--> containing cell
+  equi-join on cell  ->  exact ray-cast PIP refine (Arrow pandas UDF)
+
+A point lies in exactly one cell and a polygon's cover cells are distinct,
+so the equi-join yields each candidate pair at most once — no dedup needed.
+Skew: hotspot cells go through AQE skew-join splitting; `salt` adds explicit
+salted repartitioning for the polygon side when it must shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrakit_spark.dialect import DUCK, SPARK, D
+from terrakit_spark.functions.cells import replicate_salts, with_cover_cells, with_point_cell, with_salt
+from terrakit_spark.functions.geometry import point_in_polygon
+from terrakit_spark.registry import ensure_base_views, register_df, with_synth
+from terrakit_spark.synth import ALL_TABLES
+
+
+def cell_pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    px: str = "mx",
+    py: str = "my",
+    vertices: str = "vertices",
+    broadcast_polys: bool = True,
+    n_salts: int = 0,
+) -> DataFrame:
+    """points(px, py, ...) x polys(xmin..ymax bbox cols, vertices flat
+    [x0,y0,...], ...) -> matched pairs (all columns from both sides)."""
+    p = with_point_cell(points, px, py, out="_cell")
+    g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell")
+    if n_salts > 0:
+        p = with_salt(p, "_cell", n_salts, F.col(px), out="_salt")
+        g = replicate_salts(g, n_salts, out="_salt")
+        on = ["_cell", "_salt"]
+    else:
+        on = ["_cell"]
+    right = F.broadcast(g) if broadcast_polys and n_salts == 0 else g
+    cand = p.join(right, on=on, how="inner")
+    hit = cand.filter(point_in_polygon(F.col(px), F.col(py), F.col(vertices)))
+    return hit.drop("_cell", "_salt") if n_salts > 0 else hit.drop("_cell")
+
+
+def _diamond_polys(spark: SparkSession) -> DataFrame:
+    """Synthetic label diamonds as generic polygons (flat vertex list) —
+    the engine never sees the closed form, only vertices."""
+    return spark.sql(
+        """
+        SELECT label_id, labelclass, geom_seq, datetime,
+               cx - rx AS xmin, cy - ry AS ymin, cx + rx AS xmax, cy + ry AS ymax,
+               array(cx - rx, cy, cx, cy - ry, cx + rx, cy, cx, cy + ry) AS vertices
+        FROM labels
+        """
+    )
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    ensure_base_views(spark, sf_dir)
+    for name in ("labels", "media", "spans"):
+        spark.sql(ALL_TABLES[name](SPARK)).createOrReplaceTempView(name)
+
+
+def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-span points joined to label polygons: exact (media_ref,
+    label_id) pair set — the join-output-rows parity gate."""
+    _register_views(spark, sf_dir)
+    points = spark.table("media").select("media_ref", "mx", "my")
+    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    return cell_pip_join(points, polys).select("media_ref", "label_id")
+
+
+def _cover_cells_cte(d: D) -> str:
+    """DuckDB cover-cell explosion (nested unnest levels = cross product)."""
+    return """
+SELECT label_id, cx, cy, rx, ry,
+       unnest(generate_series(CAST(floor(cy - ry + 9.0e1) AS BIGINT),
+                              CAST(floor(cy + ry + 9.0e1) AS BIGINT))) AS cell_y,
+       cell_x
+FROM (SELECT label_id, cx, cy, rx, ry,
+             unnest(generate_series(CAST(floor(cx - rx + 1.8e2) AS BIGINT),
+                                    CAST(floor(cx + rx + 1.8e2) AS BIGINT))) AS cell_x
+      FROM labels) _lx
+"""
+
+
+_ORACLE = with_synth(
+    DUCK,
+    f"""
+SELECT p.media_ref, l.label_id
+FROM (SELECT media_ref, mx, my,
+             CAST(floor(mx + 1.8e2) AS BIGINT) AS cell_x,
+             CAST(floor(my + 9.0e1) AS BIGINT) AS cell_y
+      FROM media) p
+JOIN ({_cover_cells_cte(D(DUCK))}) l
+  ON p.cell_x = l.cell_x AND p.cell_y = l.cell_y
+WHERE abs(p.mx - l.cx) / l.rx + abs(p.my - l.cy) / l.ry < 1
+""",
+    tables=["labels", "media"],
+)
+
+register_df("spatial_join_pip", spatial_join_pip, oracle=_ORACLE)
