@@ -2,8 +2,11 @@
 
 from terrakit_spark.operators import (  # noqa: F401
     asof,
+    chips,
     flagship,
+    knn,
     labels,
+    rasterize,
     spatial_join,
     tiling,
 )

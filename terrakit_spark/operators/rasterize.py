@@ -1,0 +1,185 @@
+"""J2 full — rasterize (label burn) onto scene grids.
+
+The reference burns ALL label geometries onto every queried raster
+(/root/reference/terrakit/download/download_data.py:326-396): fill 0 (or -1
+with set_no_data), class id per polygon, later shapes overwriting earlier
+(rasterio default). Spark plan:
+
+  scenes --cover cells--> x labels --cover cells--> : cell equi-join
+  (never a nested-loop theta join), distinct (scene,label) pairs, exact
+  bbox-overlap refine, groupBy(scene) -> applyInPandas burn (vectorized
+  ray-cast per polygon in geom_seq order) -> per-class pixel histograms.
+
+The histogram (not the full image) is the query output so the oracle stays
+tractable; the burn itself produces full label images in the chipping
+pipeline. Burn-order correctness is pinned by overlapping polygons of
+different classes in the synthetic layer + the arg_max(geom_seq) oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrakit_spark.dialect import DUCK
+from terrakit_spark.functions.cells import with_cover_cells
+from terrakit_spark.functions.geometry import ray_cast
+from terrakit_spark.operators.chips import SMALL_PRED_SQL
+from terrakit_spark.operators.spatial_join import _register_views
+from terrakit_spark.registry import register_df, with_synth
+from terrakit_spark.synth import RES, RES_SQL
+
+BACKGROUND = 0  # /root/reference/terrakit/download/download_data.py:369
+
+
+def burn_image(
+    width: int,
+    height: int,
+    xmin: float,
+    ymax: float,
+    polys: list[np.ndarray],
+    classes: list[int],
+    res: float = RES,
+    fill: int = BACKGROUND,
+) -> np.ndarray:
+    """Burn polygons (pre-sorted by geom_seq) over the pixel grid; later
+    polygons overwrite earlier. Pixel center (x,y) = (xmin + (x+0.5)*res,
+    ymax - (y+0.5)*res), north-up."""
+    img = np.full((height, width), fill, dtype=np.int32)
+    xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
+    ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res
+    gx = np.broadcast_to(xs, (height, width)).ravel()
+    gy = np.repeat(ys, width)
+    flat = img.ravel()
+    for poly, cls in zip(polys, classes):
+        bx0, by0 = poly.min(axis=0)
+        bx1, by1 = poly.max(axis=0)
+        sel = (gx >= bx0) & (gx <= bx1) & (gy >= by0) & (gy <= by1)
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        hit = ray_cast(gx[idx], gy[idx], np.broadcast_to(poly, (idx.size, poly.shape[0], 2)))
+        flat[idx[hit]] = cls
+    return img
+
+
+def scene_label_pairs(spark: SparkSession, scenes_sql_pred: str) -> DataFrame:
+    """Candidate (scene, label) pairs via cover-cell equi-join + exact
+    bbox-overlap refine — candidate pruning where the reference brute-forces
+    every label against every raster. Both sides explode to cover cells;
+    the join is a hash equi-join on cell (broadcast while the label side is
+    small, shuffled+AQE-skew-split at scale)."""
+    scenes = spark.sql(
+        f"SELECT scene_id, width, height, xmin, ymin, xmax, ymax FROM scenes WHERE {scenes_sql_pred}"
+    )
+    labels = spark.sql(
+        """
+        SELECT label_id, labelclass, geom_seq, cx, cy, rx, ry,
+               cx - rx AS lxmin, cy - ry AS lymin, cx + rx AS lxmax, cy + ry AS lymax
+        FROM labels
+        """
+    )
+    s = with_cover_cells(scenes, "xmin", "ymin", "xmax", "ymax", out="_cell")
+    l_cells = with_cover_cells(labels, "lxmin", "lymin", "lxmax", "lymax", out="_cell")
+    return (
+        s.join(F.broadcast(l_cells), "_cell")
+        .filter(
+            (F.col("lxmin") <= F.col("xmax"))
+            & (F.col("lxmax") >= F.col("xmin"))
+            & (F.col("lymin") <= F.col("ymax"))
+            & (F.col("lymax") >= F.col("ymin"))
+        )
+        .dropDuplicates(["scene_id", "label_id"])
+        .select(
+            "scene_id", "width", "height", "xmin", "ymax",
+            "label_id", "labelclass", "geom_seq", "cx", "cy", "rx", "ry",
+        )
+    )
+
+
+def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scene_id, label_class, n_px) histograms of the burned label images,
+    including the background class 0 (only when background pixels remain)."""
+    _register_views(spark, sf_dir)
+    pairs = scene_label_pairs(spark, SMALL_PRED_SQL)
+    scenes = spark.sql(f"SELECT scene_id, width, height, xmin, ymax FROM scenes WHERE {SMALL_PRED_SQL}")
+
+    def burn_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("geom_seq")
+        w = int(pdf["width"].iloc[0])
+        h = int(pdf["height"].iloc[0])
+        polys = [
+            np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]], dtype=np.float64)
+            for cx, cy, rx, ry in zip(pdf["cx"], pdf["cy"], pdf["rx"], pdf["ry"])
+        ]
+        img = burn_image(w, h, float(pdf["xmin"].iloc[0]), float(pdf["ymax"].iloc[0]), polys, list(pdf["labelclass"]))
+        cls, cnt = np.unique(img, return_counts=True)
+        return pd.DataFrame(
+            {"scene_id": key[0], "label_class": cls.astype(np.int32), "n_px": cnt.astype(np.int64)}
+        )
+
+    hist = pairs.groupBy("scene_id").applyInPandas(
+        burn_group, schema="scene_id long, label_class int, n_px long"
+    )
+    untouched = scenes.join(pairs.select("scene_id").distinct(), "scene_id", "left_anti").select(
+        "scene_id",
+        F.lit(BACKGROUND).cast("int").alias("label_class"),
+        (F.col("width").cast("long") * F.col("height").cast("long")).alias("n_px"),
+    )
+    return hist.unionByName(untouched)
+
+
+_BURN_ORACLE = with_synth(
+    DUCK,
+    f"""
+WITH px AS (
+  SELECT scene_id, y, x, gx, gy,
+         CAST(floor(gx + 1.8e2) AS BIGINT) AS cell_x,
+         CAST(floor(gy + 9.0e1) AS BIGINT) AS cell_y
+  FROM (
+    SELECT scene_id, y, x,
+           xmin + (x + 5.0e-1) * {RES_SQL} AS gx,
+           ymax - (y + 5.0e-1) * {RES_SQL} AS gy
+    FROM (SELECT scene_id, xmin, ymax, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
+          FROM (SELECT scene_id, width, height, xmin, ymax, unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
+                FROM scenes WHERE {SMALL_PRED_SQL}) _sy) _sx
+  ) _g
+),
+lcells AS (
+  SELECT label_id, labelclass, geom_seq, cx, cy, rx, ry,
+         unnest(generate_series(CAST(floor(cy - ry + 9.0e1) AS BIGINT),
+                                CAST(floor(cy + ry + 9.0e1) AS BIGINT))) AS cell_y,
+         cell_x
+  FROM (SELECT label_id, labelclass, geom_seq, cx, cy, rx, ry,
+               unnest(generate_series(CAST(floor(cx - rx + 1.8e2) AS BIGINT),
+                                      CAST(floor(cx + rx + 1.8e2) AS BIGINT))) AS cell_x
+        FROM labels) _lx
+),
+covered AS (
+  SELECT p.scene_id, p.y, p.x, arg_max(l.labelclass, l.geom_seq) AS cls
+  FROM px p
+  JOIN lcells l ON p.cell_x = l.cell_x AND p.cell_y = l.cell_y
+  WHERE abs(p.gx - l.cx) / l.rx + abs(p.gy - l.cy) / l.ry < 1
+  GROUP BY p.scene_id, p.y, p.x
+),
+per_class AS (
+  SELECT scene_id, cls, count(*) AS n_px FROM covered GROUP BY scene_id, cls
+),
+totals AS (
+  SELECT scene_id, CAST(width AS BIGINT) * CAST(height AS BIGINT) AS total
+  FROM scenes WHERE {SMALL_PRED_SQL}
+)
+SELECT scene_id, CAST(cls AS INT) AS label_class, CAST(n_px AS BIGINT) AS n_px FROM per_class
+UNION ALL
+SELECT t.scene_id, {BACKGROUND} AS label_class,
+       CAST(t.total - coalesce(c.covered_px, 0) AS BIGINT) AS n_px
+FROM totals t
+LEFT JOIN (SELECT scene_id, sum(n_px) AS covered_px FROM per_class GROUP BY scene_id) c
+  ON c.scene_id = t.scene_id
+WHERE t.total - coalesce(c.covered_px, 0) > 0
+""",
+    tables=["labels", "scenes"],
+)
+
+register_df("burn_histogram", burn_histogram, oracle=_BURN_ORACLE)

@@ -66,8 +66,8 @@ def _diamond_polys(spark: SparkSession) -> DataFrame:
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     ensure_base_views(spark, sf_dir)
-    for name in ("labels", "media", "spans"):
-        spark.sql(ALL_TABLES[name](SPARK)).createOrReplaceTempView(name)
+    for name, fn in ALL_TABLES.items():
+        spark.sql(fn(SPARK)).createOrReplaceTempView(name)
 
 
 def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:

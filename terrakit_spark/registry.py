@@ -47,6 +47,11 @@ def with_synth(dialect: str, body: str, tables: list[str] | None = None, extra_c
         parts.append(extra_ctes)
     if not parts:
         return body
+    stripped = body.lstrip()
+    if stripped[:5].upper() == "WITH ":
+        # merge the body's own CTE list into ours
+        body = stripped[5:]
+        return f"WITH {', '.join(parts)},\n{body}"
     return f"WITH {', '.join(parts)}\n{body}"
 
 

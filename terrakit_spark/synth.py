@@ -72,11 +72,11 @@ SELECT e AS label_id,
        {d.date_str(dt)} AS datetime,
        CAST(1 + (e % 3) AS INT) AS labelclass,
        CASE WHEN (e % 10) < 3
-            THEN 1.0e1 + (e % 16) * 1.25e-1 + (e % 97) / 7.77e3
-            ELSE ((e * 7) % 340) - 170 + 5.0e-1 + (e % 97) / 7.77e3 END AS cx,
+            THEN 1.0e1 + (e % 16) * 1.25e-1 + ((e % 97) + 1) / 7.77e3
+            ELSE ((e * 7) % 340) - 170 + 5.0e-1 + ((e % 97) + 1) / 7.77e3 END AS cx,
        CASE WHEN (e % 10) < 3
-            THEN 1.2e1 + (e % 8) * 1.25e-1 + (e % 89) / 8.88e3
-            ELSE ((e * 13) % 160) - 80 + 5.0e-1 + (e % 89) / 8.88e3 END AS cy,
+            THEN 1.2e1 + (e % 8) * 1.25e-1 + ((e % 89) + 1) / 8.88e3
+            ELSE ((e * 13) % 160) - 80 + 5.0e-1 + ((e % 89) + 1) / 8.88e3 END AS cy,
        2.5e-1 + (e % 4) * 1.25e-1 AS rx,
        2.5e-1 + (e % 3) * 1.25e-1 AS ry,
        {d.fmt("label_%s_CLASS_%d_v1.json", d.date_token(dt), "CAST(1 + (e % 3) AS INT)")} AS filename
@@ -149,11 +149,11 @@ SELECT {d.fmt("doc-%012d", "doc_id")} AS doc_id,
        {d.fmt("doc-%012d/m%d", "doc_id", sel_m)} AS media_ref,
        CAST(4 + 5 * {sel_m} AS INT) AS offset,
        CASE WHEN (doc_id % 10) < 3
-            THEN 1.0e1 + ((doc_id * 31 + {sel_m} * 17) % 64) * 6.25e-2 + (doc_id % 83) / 9.99e3
-            ELSE ((doc_id * 31 + {sel_m} * 17) % 340) - 170 + 5.0e-1 + (doc_id % 83) / 9.99e3 END AS mx,
+            THEN 1.0e1 + ((doc_id * 31 + {sel_m} * 17) % 64) * 6.25e-2 + ((doc_id % 83) + 1) / 9.99e3
+            ELSE ((doc_id * 31 + {sel_m} * 17) % 340) - 170 + 5.0e-1 + ((doc_id % 83) + 1) / 9.99e3 END AS mx,
        CASE WHEN (doc_id % 10) < 3
-            THEN 1.2e1 + ((doc_id * 13 + {sel_m} * 7) % 32) * 6.25e-2 + (doc_id % 79) / 9.19e3
-            ELSE ((doc_id * 13 + {sel_m} * 7) % 160) - 80 + 5.0e-1 + (doc_id % 79) / 9.19e3 END AS my,
+            THEN 1.2e1 + ((doc_id * 13 + {sel_m} * 7) % 32) * 6.25e-2 + ((doc_id % 79) + 1) / 9.19e3
+            ELSE ((doc_id * 13 + {sel_m} * 7) % 160) - 80 + 5.0e-1 + ((doc_id % 79) + 1) / 9.19e3 END AS my,
        {date} AS media_date,
        {d.date_str(date)} AS media_date_str
 {from_frag}
