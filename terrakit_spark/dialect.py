@@ -104,6 +104,18 @@ class D:
             f"(acc, c) -> (acc * 31 + c) % {mod})"
         )
 
+    def shiftright(self, a: str, b: str) -> str:
+        return f"shiftright({a}, CAST({b} AS INT))" if self.d == SPARK else f"({a} >> {b})"
+
+    def shiftleft(self, a: str, b: str) -> str:
+        return f"shiftleft({a}, CAST({b} AS INT))" if self.d == SPARK else f"({a} << {b})"
+
+    def bitxor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})" if self.d == SPARK else f"xor({a}, {b})"
+
+    def arr_distinct_len(self, a: str) -> str:
+        return f"size(array_distinct({a}))" if self.d == SPARK else f"len(list_distinct({a}))"
+
     # table-generating: explode an integer sequence [start..stop] step,
     # produced as "<from_clause>" fragment with alias col
     def explode_seq(self, start: str, stop: str, step: str, alias: str) -> str:

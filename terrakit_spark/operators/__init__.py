@@ -3,10 +3,17 @@
 from terrakit_spark.operators import (  # noqa: F401
     asof,
     chips,
+    dedup,
     flagship,
+    geo_scalar,
     knn,
     labels,
+    mosaic,
     rasterize,
+    relational,
+    similarity,
     spatial_join,
+    split,
+    textops,
     tiling,
 )

@@ -1,0 +1,156 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+n-gram Jaccard, and SimHash. Everything is pure Spark SQL over portable
+integer arithmetic (polynomial rolling hashes, mod 1e9+7), so the identical
+pipeline runs in DuckDB as the oracle and the hot path has zero Python.
+
+Run against docs_aug (documents + planted exact/near duplicates) so every
+operator has guaranteed hits at every scale factor.
+
+Scale notes (10^12 docs): the shingle explosion is the dominant shuffle —
+shingles are hashed to int64 immediately (never shuffled as strings), the
+minhash aggregation is a map-side-combinable min, the LSH bucket self-join
+keys on (band, signature) which AQE skew-splits; exact dedup is one
+hash-aggregate on the fingerprint."""
+
+from __future__ import annotations
+
+from terrakit_spark.dialect import SPARK, D
+from terrakit_spark.registry import register_sql
+
+MOD = 1000000007
+NUM_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+
+
+def _shingles_cte(d: D) -> str:
+    """Distinct 3-gram token shingles per doc, hashed to int64."""
+    toks = d.split_ws("text")
+    if d.d == SPARK:
+        explode = (
+            f"SELECT doc_id, explode(transform(sequence(1, {d.arr_len('toks_a')} - 2), "
+            f"i -> concat_ws(' ', slice(toks_a, i, 3)))) AS shingle "
+            f"FROM (SELECT doc_id, {toks} AS toks_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
+        )
+    else:
+        explode = (
+            f"SELECT doc_id, unnest(list_transform(generate_series(1, {d.arr_len('toks_a')} - 2), "
+            f"i -> array_to_string(list_slice(toks_a, i, i + 2), ' '))) AS shingle "
+            f"FROM (SELECT doc_id, {toks} AS toks_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
+        )
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, {d.rolling_hash('shingle', MOD)} AS h
+  FROM ({explode}) _e
+)"""
+
+
+def _dedup_exact(dialect: str) -> str:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint; keeper =
+    min doc_id (the reference's drop_duplicates keep='first' analogue,
+    /root/reference/terrakit/download/download_data.py:233-237)."""
+    if dialect == SPARK:
+        norm = "lower(regexp_replace(text, '\\\\s+', ' '))"
+    else:
+        norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+FROM (SELECT doc_id, md5({norm}) AS fingerprint FROM docs_aug) _f
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+
+def _minhash_lsh(dialect: str) -> str:
+    """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate generation,
+    verified with exact shingle-set Jaccard."""
+    d = D(dialect)
+    a_k = f"(131 + 2 * k)"
+    b_k = f"(1000 + 37 * k)"
+    if dialect == SPARK:
+        hk = f"SELECT doc_id, h, k FROM sh LATERAL VIEW explode(sequence(0, {NUM_HASHES - 1})) _k AS k"
+    else:
+        hk = f"SELECT doc_id, h, unnest(generate_series(0, {NUM_HASHES - 1})) AS k FROM sh"
+    band = d.idiv("k", str(BAND_ROWS))
+    return f"""
+WITH {_shingles_cte(d)},
+mh AS (
+  SELECT doc_id, k, min(({a_k} * h + {b_k}) % {MOD}) AS mh
+  FROM ({hk}) _hk GROUP BY doc_id, k
+),
+buckets AS (
+  SELECT doc_id, {band} AS band,
+         CAST(sum(mh * CASE WHEN k % {BAND_ROWS} = 0 THEN 1000000009 ELSE 1 END) AS BIGINT) AS sig
+  FROM mh GROUP BY doc_id, {band}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+  FROM buckets b1 JOIN buckets b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       round(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE i.n_inter / (z1.n + z2.n - i.n_inter) >= 2.0e-1
+"""
+
+
+def _ngram_jaccard(dialect: str) -> str:
+    """Brute n-gram Jaccard on a doc subset (all-pairs via shingle equi-join
+    — the LSH-free baseline)."""
+    d = D(dialect)
+    return f"""
+WITH {_shingles_cte(d)},
+sub AS (SELECT * FROM sh WHERE (doc_id % 20) = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sub GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_inter
+  FROM sub s1 JOIN sub s2 ON s2.h = s1.h AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT i.d1, i.d2, round(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE i.n_inter / (z1.n + z2.n - i.n_inter) >= 1.0e-1
+"""
+
+
+def _simhash(dialect: str) -> str:
+    """16-bit SimHash over token rolling-hashes (with multiplicity)."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    if dialect == SPARK:
+        tok_rows = f"SELECT doc_id, explode({toks}) AS tok FROM docs_aug"
+        bit_rows = "SELECT doc_id, h, explode(sequence(0, 15)) AS b FROM tokh"
+    else:
+        tok_rows = f"SELECT doc_id, unnest({toks}) AS tok FROM docs_aug"
+        bit_rows = "SELECT doc_id, h, unnest(generate_series(0, 15)) AS b FROM tokh"
+    bit = f"({d.shiftright('h', 'b')} % 2)"
+    return f"""
+WITH tokh AS (SELECT doc_id, {d.rolling_hash('tok', 65536)} AS h FROM ({tok_rows}) _t),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s
+  FROM ({bit_rows}) _b
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN {d.shiftleft('CAST(1 AS BIGINT)', 'b')} ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+"""
+
+
+register_sql("dedup_exact", _dedup_exact, tables=["docs_aug"])
+register_sql("minhash_lsh_pairs", _minhash_lsh, tables=["docs_aug"])
+register_sql("ngram_jaccard_pairs", _ngram_jaccard, tables=["docs_aug"])
+register_sql("simhash_table", _simhash, tables=["docs_aug"])

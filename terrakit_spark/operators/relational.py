@@ -1,0 +1,63 @@
+"""General relational capability demos over the TPC-H-ish testdata (the
+engine's glue operators: filter/project/agg/join/window/sort/limit used by
+every pipeline above). Identical SQL text in both dialects."""
+
+from __future__ import annotations
+
+from terrakit_spark.registry import register_sql
+
+
+def _pricing_summary(dialect: str) -> str:
+    # TPC-H Q1 shape
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _top_orders(dialect: str) -> str:
+    # TPC-H Q3 shape with deterministic tie-breaking
+    from terrakit_spark.dialect import D
+
+    d = D(dialect)
+    odate = d.date_str("CAST(o.o_orderdate AS DATE)")
+    return f"""
+SELECT o_orderkey, revenue, o_orderdate_str FROM (
+  SELECT o.o_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         {odate} AS o_orderdate_str,
+         row_number() OVER (ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey ASC) AS rn
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY o.o_orderkey, {odate}
+) t WHERE rn <= 10
+"""
+
+
+def _region_rollup(dialect: str) -> str:
+    # multi-join star rollup
+    return """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS sum_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+register_sql("pricing_summary", _pricing_summary, tables=[])
+register_sql("top_orders_window", _top_orders, tables=[])
+register_sql("region_rollup", _region_rollup, tables=[])

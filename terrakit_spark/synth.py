@@ -197,11 +197,28 @@ def cell_expr(x: str, y: str) -> str:
     return f"(CAST(floor({x} + 1.8e2) AS BIGINT) * 180 + CAST(floor({y} + 9.0e0e1) AS BIGINT))"
 
 
+
+def docs_aug_sql(dialect: str) -> str:
+    """Documents augmented with deterministic planted duplicates so dedup
+    operators have guaranteed hits: every 89th doc gets an EXACT copy
+    (doc_id + 2e9), every 97th a NEAR duplicate with a suffix appended
+    (doc_id + 1e9). Same SQL text in both dialects."""
+    return """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 89 = 0
+UNION ALL
+SELECT doc_id + 1000000000 AS doc_id, text || ' near duplicate tail marker' AS text
+FROM documents WHERE doc_id % 97 = 0
+"""
+
+
 ALL_TABLES = {
     "labels": labels_sql,
     "scenes": scenes_sql,
     "media": media_sql,
     "spans": spans_sql,
+    "docs_aug": docs_aug_sql,
 }
 
 

@@ -46,16 +46,22 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # rows may mix None/float/str across rows; sort on reprs (stable and
+    # identical for identical values), compare actual values afterwards
+    return tuple(repr(v) for v in row)
+
+
 def rows_of_spark(df):
     cols = sorted(df.columns)
-    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect()), cols
+    return sorted((tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=_sort_key), cols
 
 
 def rows_of_duck(con, sql: str):
     rel = con.sql(sql)
     cols = list(rel.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = sorted(tuple(_norm(r[i]) for i in order) for r in rel.fetchall())
+    rows = sorted((tuple(_norm(r[i]) for i in order) for r in rel.fetchall()), key=_sort_key)
     return rows, sorted(cols)
 
 
