@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline metric is tiles+joined rows/sec (BASELINE.json): the full
+chipping pipeline's chips plus the spatial/kNN/dedup join outputs, divided
+by total wall-clock. Run with --scaling to measure the same job at two
+parallelism levels (local[8] vs local[32]) and report scaling efficiency
+(the sandbox proxy for the N vs 4N executor-cluster requirement)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# pipeline scene subset for the bench (deterministic; full dims included)
+BENCH_SCENE_PRED = "(scene_id % 25) = 0"
+
+
+def _build_session(n_cpus: str):
+    from terrakit_spark.session import get_spark
+
+    return get_spark(master=f"local[{n_cpus}]", app_name="terrakit_bench", shuffle_partitions=int(n_cpus))
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+    """Returns ({query: seconds}, total output rows counted)."""
+    import terrakit_spark.operators  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from terrakit_spark.operators.knn import knn_media_labels
+    from terrakit_spark.operators.spatial_join import spatial_join_pip
+    from terrakit_spark.pipeline import chip_pipeline
+    from terrakit_spark.registry import QUERIES
+
+    timings: dict[str, float] = {}
+    rows_out = 0
+
+    def timed(name, fn):
+        nonlocal rows_out
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        rows_out += n
+        return n
+
+    timed("q_chip_pipeline", lambda: chip_pipeline(spark, sf_dir, scene_pred=BENCH_SCENE_PRED).count())
+    timed("q_spatial_join_pip", lambda: spatial_join_pip(spark, sf_dir).count())
+    timed("q_knn_grid", lambda: knn_media_labels(spark, sf_dir).count())
+    timed("q_asof_join", lambda: QUERIES["asof_per_bbox"](spark, sf_dir).count())
+    timed("q_grouped_bbox", lambda: QUERIES["grouped_bbox"](spark, sf_dir).count())
+    timed("q_window_grid", lambda: QUERIES["window_grid"](spark, sf_dir).count())
+    timed("q_minhash_lsh", lambda: QUERIES["minhash_lsh_pairs"](spark, sf_dir).count())
+    timed("q_dedup_exact", lambda: QUERIES["dedup_exact"](spark, sf_dir).count())
+    timed("q_ann_topk", lambda: QUERIES["ann_topk_quantized"](spark, sf_dir).count())
+    timed("q_flagship_rollup", lambda: QUERIES["flagship_doc_rollup"](spark, sf_dir).count())
+    return timings, rows_out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in ("8", "32"):
+            spark = _build_session(n)
+            t0 = time.time()
+            _, rows = run_queries(spark, SF_DIR)
+            total = time.time() - t0
+            results[n] = {"sec": round(total, 2), "rows": rows, "rows_per_sec": round(rows / total, 1)}
+            spark.stop()
+        t8, t32 = results["8"]["sec"], results["32"]["sec"]
+        eff = (t8 / t32) / 4.0
+        print(json.dumps({"scaling": results, "speedup_8_to_32": round(t8 / t32, 3), "efficiency": round(eff, 3)}))
+        return
+
+    spark = _build_session(CPUS)
+    t0 = time.time()
+    timings, rows = run_queries(spark, SF_DIR)
+    total = time.time() - t0
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "tiles+joined rows/sec (headline suite wall-clock)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "rows_out": rows,
+                "rows_per_sec": round(rows / total, 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,36 +68,3 @@ def point_in_polygon(px, py, verts):
     if _pip_udf is None:
         _pip_udf = pandas_udf(_pip_fn, "boolean")
     return _pip_udf(px, py, verts)
-
-
-def rasterize_polygons(
-    width: int,
-    height: int,
-    xmin: float,
-    ymax: float,
-    res: float,
-    polys: list[np.ndarray],
-    classes: list[int],
-    fill: int = 0,
-) -> np.ndarray:
-    """Burn polygons (already ordered by geom_seq) onto the pixel grid.
-    Pixel (row y, col x) center = (xmin + (x+0.5)*res, ymax - (y+0.5)*res)
-    — north-up geotransform like the reference's rasters. Later polygons
-    overwrite earlier ones (rasterio default)."""
-    img = np.full((height, width), fill, dtype=np.int32)
-    xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
-    ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res
-    gx = np.broadcast_to(xs, (height, width)).ravel()
-    gy = np.repeat(ys, width)
-    for poly, cls in zip(polys, classes):
-        # clip to polygon bbox for speed
-        bx0, by0 = poly.min(axis=0)
-        bx1, by1 = poly.max(axis=0)
-        sel = (gx >= bx0) & (gx <= bx1) & (gy >= by0) & (gy <= by1)
-        if not sel.any():
-            continue
-        idx = np.nonzero(sel)[0]
-        sub = ray_cast(gx[idx], gy[idx], np.broadcast_to(poly, (idx.size,) + poly.shape))
-        flat = img.ravel()
-        flat[idx[sub]] = cls
-    return img

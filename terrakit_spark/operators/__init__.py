@@ -9,6 +9,7 @@ from terrakit_spark.operators import (  # noqa: F401
     knn,
     labels,
     mosaic,
+    pipeline_query,
     rasterize,
     relational,
     similarity,

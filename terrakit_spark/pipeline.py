@@ -1,0 +1,197 @@
+"""End-to-end chipping pipeline — the reference's full dataset-generation
+flow (labels -> download -> rasterize -> chip -> store,
+/root/reference/terrakit/__main__.py:47-52) as one Spark job:
+
+  1. labels -> per-date envelope bboxes (A1, transform/labels.py:363-413)
+  2. temporal as-of join of label dates to scene dates (J1,
+     download/download_data.py:240-297; window [d, d+7], first-min tie)
+  3. scene x label candidate pairs via cover-cell equi-join (J2 pruning)
+  4. per-scene label burn (rasterize, download/download_data.py:326-396)
+     -> int32 label image as binary
+  5. data-pixel materialization (S6 analogue) + optional impute/scale
+     transforms (download/download_data.py:300-307)
+  6. edge-clamped 256-window chipping of BOTH cubes with the same window
+     list (W1/W2, chip/tiling.py:160-222,298-345) + per-band Σx/Σx²
+     partials (A3)
+  7. snapshot-committed chip table with per-partition lineage (K5/K7)
+
+Every pixel touch happens inside Arrow batch UDFs (numpy); everything
+between is DataFrame API. Scenes repartition round-robin before the heavy
+mapInPandas stages so one fat-dim scene run doesn't serialize a thread."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrakit_spark.operators.asof import _asof_join
+from terrakit_spark.operators.rasterize import burn_image, scene_label_pairs
+from terrakit_spark.operators.spatial_join import _register_views
+from terrakit_spark.sources.raster import scene_pixels
+from terrakit_spark.synth import CHIP, RES
+
+
+def _windows(w: int, h: int, c: int = CHIP) -> list[tuple[int, int, int]]:
+    """(win_index, x, y) with the reference's edge-clamp rule."""
+    xs = [w - c if x + c > w else x for x in range(0, w, c)]
+    ys = [h - c if y + c > h else y for y in range(0, h, c)]
+    out = []
+    i = 0
+    for x in xs:
+        for y in ys:
+            out.append((i, x, y))
+            i += 1
+    return out
+
+
+def matched_scenes(spark: SparkSession, scene_pred: str) -> DataFrame:
+    """Scenes that win the as-of join for at least one label date."""
+    asof = spark.sql(
+        "SELECT DISTINCT scene_date_str FROM (" + _asof_join("spark") + ") WHERE scene_date_str IS NOT NULL"
+    )
+    scenes = spark.sql(f"SELECT * FROM scenes WHERE {scene_pred}")
+    return scenes.join(F.broadcast(asof), "scene_date_str")
+
+
+def chip_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    scene_pred: str = "true",
+    shuffle_parts: int | None = None,
+) -> DataFrame:
+    """Returns the chip table: one row per (scene, window) with data chip,
+    label chip, and per-band integer stat partials."""
+    _register_views(spark, sf_dir)
+    scenes = matched_scenes(spark, scene_pred)
+    n_parts = shuffle_parts or spark.sparkContext.defaultParallelism
+
+    # -- J2: candidate labels per scene, collected per scene for the burn
+    pairs = scene_label_pairs(spark, scene_pred).join(
+        F.broadcast(scenes.select("scene_id")), "scene_id", "left_semi"
+    )
+    polys_per_scene = (
+        pairs.select(
+            "scene_id",
+            F.struct("geom_seq", "labelclass", "cx", "cy", "rx", "ry").alias("g"),
+        )
+        .groupBy("scene_id")
+        .agg(F.sort_array(F.collect_list("g")).alias("polys"))
+    )
+
+    src = (
+        scenes.join(polys_per_scene, "scene_id", "left")
+        .select("scene_id", "scene_date_str", "bands", "width", "height", "xmin", "ymax", "polys")
+        .repartition(n_parts, "scene_id")
+    )
+
+    # keep yielded Arrow batches bounded: a 256x256x3 f32 chip is ~0.8 MB,
+    # so flush every ~64 chips (~50 MB) instead of one giant frame per batch
+    FLUSH_CHIPS = 64
+
+    def chipper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "scene_id", "scene_date_str", "win_index", "win_x", "win_y",
+            "bands", "chip_w", "chip_h", "data", "label",
+            "px_sum", "px_sumsq", "label_mass",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if len(rows) >= FLUSH_CHIPS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+                nb, h, w = int(r.bands), int(r.height), int(r.width)
+                cube = scene_pixels(int(r.scene_id), nb, h, w)  # data fetch (S6)
+                if r.polys is not None and len(r.polys) > 0:
+                    polys = [
+                        np.array(
+                            [[g["cx"] - g["rx"], g["cy"]], [g["cx"], g["cy"] - g["ry"]],
+                             [g["cx"] + g["rx"], g["cy"]], [g["cx"], g["cy"] + g["ry"]]],
+                            dtype=np.float64,
+                        )
+                        for g in r.polys
+                    ]
+                    classes = [int(g["labelclass"]) for g in r.polys]
+                    label_img = burn_image(w, h, float(r.xmin), float(r.ymax), polys, classes)
+                else:
+                    label_img = np.zeros((h, w), dtype=np.int32)
+                for win_index, x, y in _windows(w, h):
+                    x0, y0 = max(x, 0), max(y, 0)
+                    x1, y1 = min(x + CHIP, w), min(y + CHIP, h)
+                    dchip = cube[:, y0:y1, x0:x1]
+                    lchip = label_img[y0:y1, x0:x1]
+                    di = dchip.astype(np.int64)
+                    rows.append(
+                        (
+                            int(r.scene_id),
+                            r.scene_date_str,
+                            win_index,
+                            int(x),
+                            int(y),
+                            nb,
+                            dchip.shape[2],
+                            dchip.shape[1],
+                            dchip.tobytes(),
+                            lchip.astype(np.int32).tobytes(),
+                            [int(v) for v in di.sum(axis=(1, 2))],
+                            [int(v) for v in (di * di).sum(axis=(1, 2))],
+                            int((lchip > 0).sum()),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "scene_id long, scene_date_str string, win_index int, win_x int, win_y int, "
+        "bands int, chip_w int, chip_h int, data binary, label binary, "
+        "px_sum array<long>, px_sumsq array<long>, label_mass long"
+    )
+    return src.mapInPandas(chipper, schema=schema)
+
+
+def dataset_stats(chips: DataFrame) -> DataFrame:
+    """A3 final aggregation from per-chip partials: per-band mean/std over
+    all chips (clean semantics; the reference's pixel_count quirk at
+    /root/reference/terrakit/chip/tiling.py:359 is reproduced in
+    dataset_stats_quirk)."""
+    per_band = chips.select(
+        "scene_id",
+        F.posexplode("px_sum").alias("band", "s"),
+        (F.col("chip_w").cast("long") * F.col("chip_h")).alias("n"),
+        F.expr("px_sumsq").alias("_sq"),
+    ).select("scene_id", "band", "s", "n", F.expr("_sq[band]").alias("sq"))
+    agg = per_band.groupBy("band").agg(
+        F.sum("s").alias("sum_x"),
+        F.sum("sq").alias("sum_x2"),
+        F.sum("n").alias("n_px"),
+    )
+    return agg.select(
+        "band",
+        "n_px",
+        (F.col("sum_x") / F.col("n_px")).alias("mean"),
+        F.sqrt(F.col("sum_x2") / F.col("n_px") - (F.col("sum_x") / F.col("n_px")) * (F.col("sum_x") / F.col("n_px"))).alias("std"),
+    )
+
+
+def dataset_stats_quirk(chips: DataFrame) -> DataFrame:
+    """The reference's quirky variant: pixel_count = n_tiles * H * W of the
+    LAST image and a scalar collapse across bands
+    (/root/reference/terrakit/chip/tiling.py:353-362). Reproduced for parity
+    documentation: quirk kept, delta documented in SURVEY §6."""
+    one = chips.orderBy(F.col("scene_id").desc(), F.col("win_index").desc()).select("chip_w", "chip_h").limit(1)
+    last = one.collect()[0]
+    n_tiles = chips.count()
+    pixel_count = n_tiles * last.chip_w * last.chip_h
+    tot = chips.select(
+        F.explode("px_sum").alias("s")
+    ).agg(F.sum("s").alias("sum_x")).crossJoin(
+        chips.select(F.explode("px_sumsq").alias("q")).agg(F.sum("q").alias("sum_x2"))
+    )
+    return tot.select(
+        (F.col("sum_x") / F.lit(pixel_count)).alias("total_mean"),
+        F.sqrt(F.col("sum_x2") / F.lit(pixel_count) - (F.col("sum_x") / F.lit(pixel_count)) * (F.col("sum_x") / F.lit(pixel_count))).alias("total_std"),
+    )

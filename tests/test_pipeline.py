@@ -1,0 +1,52 @@
+"""End-to-end chipping pipeline consistency tests (chip counts vs the
+window-grid oracle, label mass vs the burn histogram, stats finiteness)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from terrakit_spark.pipeline import chip_pipeline, dataset_stats, matched_scenes
+from terrakit_spark.synth import CHIP
+
+PRED = "(scene_id % 25) IN (15, 20) OR (scene_id % 125) = 0"
+
+
+def test_chip_counts_match_window_grid(synth, sf_dir, spark):
+    chips = chip_pipeline(spark, sf_dir, scene_pred=PRED).cache()
+    ms = matched_scenes(spark, PRED)
+    expected = ms.selectExpr(
+        "scene_id",
+        f"((width - 1) div {CHIP} + 1) * ((height - 1) div {CHIP} + 1) AS n",
+    ).agg(F.sum("n")).collect()[0][0]
+    got = chips.count()
+    assert got == expected
+
+    # chip_w is either CHIP or the full (small) raster width
+    small = chips.filter(F.col("chip_w") != CHIP).select("chip_w", "chip_h").distinct().collect()
+    for r in small:
+        assert r.chip_w in (10, 64) and r.chip_h in (10, 48)
+
+
+def test_label_mass_consistent_with_burn(synth, sf_dir, spark):
+    from terrakit_spark.operators.rasterize import burn_histogram
+
+    pred_small = "(scene_id % 25) IN (15, 20)"
+    chips = chip_pipeline(spark, sf_dir, scene_pred=pred_small)
+    mass = chips.groupBy("scene_id").agg(F.sum("label_mass").alias("mass"))
+    hist = burn_histogram(spark, sf_dir)
+    covered = (
+        hist.filter("label_class > 0").groupBy("scene_id").agg(F.sum("n_px").alias("covered"))
+    )
+    # small scenes have a single window covering the full raster -> equal
+    joined = mass.join(covered, "scene_id", "left").fillna(0, subset=["covered"])
+    bad = joined.filter(F.col("mass") != F.col("covered")).count()
+    assert bad == 0
+
+
+def test_dataset_stats_sane(synth, sf_dir, spark):
+    chips = chip_pipeline(spark, sf_dir, scene_pred="(scene_id % 25) = 15")
+    stats = dataset_stats(chips).collect()
+    assert len(stats) >= 1
+    for r in stats:
+        assert r.n_px > 0 and np.isfinite(r["mean"]) and np.isfinite(r["std"])
