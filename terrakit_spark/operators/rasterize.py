@@ -52,57 +52,23 @@ def burn_image(
     xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
     ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res  # decreasing
     ys_rev = ys[::-1]
-
-    # pad to a (P, V, 2) array (repeat-last-vertex padding is a no-op edge)
-    maxv = max(p.shape[0] for p in polys)
-    P = len(polys)
-    parr = np.empty((P, maxv, 2), dtype=np.float64)
-    for i, p in enumerate(polys):
-        parr[i, : p.shape[0]] = p
-        if p.shape[0] < maxv:
-            parr[i, p.shape[0] :] = p[-1]
-    cls_arr = np.asarray(classes, dtype=np.int32)
-
-    # per-polygon pixel rectangle (inclusive bbox predicate on pixel centers)
-    bx0 = parr[:, :, 0].min(axis=1)
-    bx1 = parr[:, :, 0].max(axis=1)
-    by0 = parr[:, :, 1].min(axis=1)
-    by1 = parr[:, :, 1].max(axis=1)
-    x_lo = np.searchsorted(xs, bx0, "left")
-    x_hi = np.searchsorted(xs, bx1, "right")
-    y_lo = height - np.searchsorted(ys_rev, by1, "right")
-    y_hi = height - np.searchsorted(ys_rev, by0, "left")
-    ncol = np.maximum(x_hi - x_lo, 0)
-    nrow = np.maximum(y_hi - y_lo, 0)
-    n = (ncol * nrow).astype(np.int64)
-    keep = n > 0
-    if not keep.any():
-        return img
-    # order preserved => fancy-assignment duplicates resolve to the LAST
-    # (highest geom_seq) polygon, reproducing rasterio's burn order
-    parr, cls_arr = parr[keep], cls_arr[keep]
-    x_lo, y_lo, ncol, nrow, n = x_lo[keep], y_lo[keep], ncol[keep], nrow[keep], n[keep]
-    cum = np.concatenate(([0], np.cumsum(n)))
-    flat = img.ravel()
-
-    CHUNK = 4_000_000
-    start = 0
-    while start < len(n):
-        end = start
-        tot = 0
-        while end < len(n) and (tot + n[end] <= CHUNK or end == start):
-            tot += n[end]
-            end += 1
-        pidx = np.repeat(np.arange(start, end), n[start:end])
-        off = np.arange(tot) - np.repeat(cum[start:end] - cum[start], n[start:end])
-        row = off // ncol[pidx]
-        col = off % ncol[pidx]
-        gy_i = (y_lo[pidx] + row).astype(np.int64)
-        gx_i = (x_lo[pidx] + col).astype(np.int64)
-        hit = ray_cast(xs[gx_i], ys[gy_i], parr[pidx])
-        lin = gy_i * width + gx_i
-        flat[lin[hit]] = cls_arr[pidx[hit]]
-        start = end
+    for poly, cls in zip(polys, classes):
+        bx0, by0 = poly.min(axis=0)
+        bx1, by1 = poly.max(axis=0)
+        # rectangle of pixels whose centers fall inside the polygon bbox
+        # (inclusive, identical predicate to a full-grid mask)
+        x_lo = int(np.searchsorted(xs, bx0, "left"))
+        x_hi = int(np.searchsorted(xs, bx1, "right"))
+        y_lo = height - int(np.searchsorted(ys_rev, by1, "right"))
+        y_hi = height - int(np.searchsorted(ys_rev, by0, "left"))
+        if x_lo >= x_hi or y_lo >= y_hi:
+            continue
+        nrow, ncol = y_hi - y_lo, x_hi - x_lo
+        sub_gx = np.broadcast_to(xs[x_lo:x_hi], (nrow, ncol)).ravel()
+        sub_gy = np.repeat(ys[y_lo:y_hi], ncol)
+        hit = ray_cast(sub_gx, sub_gy, np.broadcast_to(poly, (sub_gx.size, poly.shape[0], 2)))
+        block = img[y_lo:y_hi, x_lo:x_hi]
+        block[hit.reshape(nrow, ncol)] = cls
     return img
 
 

@@ -24,6 +24,13 @@ def get_spark(
     On a real cluster these configs ride along unchanged; only ``master``
     and memory sizing differ (spark-submit provides those).
     """
+    # glibc tuning for the Arrow/numpy hot path: without it every large
+    # numpy temp is mmap'd and munmap'd, paying first-touch page faults on
+    # EVERY allocation (measured ~60x slowdown in sandboxed kernels). Must
+    # be set before the JVM (and its python workers) are spawned.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         # match parallelism of the master when local, else a cluster default
@@ -46,6 +53,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
     )
     if extra_conf:
         for k, v in extra_conf.items():
