@@ -1,0 +1,38 @@
+"""The LSH-bucketed ANN is approximate by design. The driver's testdata
+embeddings are uniformly random (no cluster structure — measured same-label
+vs cross-label cosine are both ~0), which is the theoretical worst case for
+LSH: with 8 hyperplanes a true neighbour (cos ~0.33, theta ~70deg) collides
+with probability (1 - theta/pi)^8 ~ 2%. The meaningful check is therefore
+LIFT: recall must be several times the fraction of candidates scored —
+i.e. the buckets concentrate true neighbours, not that absolute recall is
+high on structureless data."""
+
+from __future__ import annotations
+
+import terrakit_spark.operators  # noqa: F401
+from terrakit_spark.registry import QUERIES, ensure_base_views
+
+
+def test_lsh_lift_against_bruteforce(synth, spark, sf_dir):
+    exact = QUERIES["ann_topk_quantized"](spark, sf_dir).select("qid", "vec_id").cache()
+    approx = QUERIES["ann_lsh_bucketed"](spark, sf_dir).select("qid", "vec_id", "cos_sim").cache()
+    n_exact = exact.count()
+    hits = exact.join(approx.select("qid", "vec_id"), ["qid", "vec_id"], "inner").count()
+    recall = hits / n_exact
+
+    # candidate fraction actually scored by the bucketed variant
+    ensure_base_views(spark, sf_dir)
+    n_vecs = spark.table("embeddings").count()
+    n_queries = exact.select("qid").distinct().count()
+    from terrakit_spark.operators.similarity import QUERY_PRED, lsh_bucket_expr
+    from pyspark.sql import functions as F
+
+    emb = spark.table("embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qe"
+    ).withColumn("bucket", lsh_bucket_expr("qe"))
+    bucket_sizes = emb.groupBy("bucket").count()
+    q_buckets = emb.filter(QUERY_PRED).select("bucket")
+    scored = q_buckets.join(bucket_sizes, "bucket").agg(F.sum("count")).collect()[0][0]
+    candidate_fraction = scored / (n_queries * n_vecs)
+
+    assert recall > 2.5 * candidate_fraction, f"recall={recall:.4f} fraction={candidate_fraction:.4f}"
