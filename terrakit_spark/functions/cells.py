@@ -17,23 +17,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CELL_DEG = 1.0
-N_Y = 180  # lat cells
 
 
-def cell_x(lon: Column) -> Column:
-    return F.floor(lon + F.lit(180.0)).cast("long")
+def _ny(cell_deg: float) -> int:
+    return int(round(180.0 / cell_deg)) + 1
 
 
-def cell_y(lat: Column) -> Column:
-    return F.floor(lat + F.lit(90.0)).cast("long")
+def cell_x(lon: Column, cell_deg: float = CELL_DEG) -> Column:
+    return F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
 
 
-def cell_id(lon: Column, lat: Column) -> Column:
-    return cell_x(lon) * N_Y + cell_y(lat)
+def cell_y(lat: Column, cell_deg: float = CELL_DEG) -> Column:
+    return F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
 
 
-def with_point_cell(df: DataFrame, lon: str, lat: str, out: str = "cell") -> DataFrame:
-    return df.withColumn(out, cell_id(F.col(lon), F.col(lat)))
+def cell_id(lon: Column, lat: Column, cell_deg: float = CELL_DEG) -> Column:
+    return cell_x(lon, cell_deg) * _ny(cell_deg) + cell_y(lat, cell_deg)
+
+
+def with_point_cell(df: DataFrame, lon: str, lat: str, out: str = "cell", cell_deg: float = CELL_DEG) -> DataFrame:
+    return df.withColumn(out, cell_id(F.col(lon), F.col(lat), cell_deg))
 
 
 def with_cover_cells(
@@ -43,21 +46,24 @@ def with_cover_cells(
     xmax: str,
     ymax: str,
     out: str = "cell",
+    cell_deg: float = CELL_DEG,
 ) -> DataFrame:
-    """Explode a bbox row to one row per covered 1-degree cell.
+    """Explode a bbox row to one row per covered cell.
 
-    Cover-cell count is bounded by the bbox size (our synthetic polygons
-    cover <= 2x2 cells; scene footprints <= 7x7). At 10^12 scale this is the
-    polygon-side fanout of the spatial join; the exploded table is still
-    small relative to the point side and is what gets broadcast."""
-    cx_lo = cell_x(F.col(xmin))
-    cx_hi = cell_x(F.col(xmax))
-    cy_lo = cell_y(F.col(ymin))
-    cy_hi = cell_y(F.col(ymax))
+    cell_deg is a pruning knob, not a correctness knob: any resolution
+    yields the same refined join output. Finer cells replicate the polygon
+    side more but shrink per-cell candidate lists — the right trade when
+    the point side is dense (hotspots). At 10^12 scale the resolution is
+    picked from measured cell-occupancy histograms."""
+    cx_lo = cell_x(F.col(xmin), cell_deg)
+    cx_hi = cell_x(F.col(xmax), cell_deg)
+    cy_lo = cell_y(F.col(ymin), cell_deg)
+    cy_hi = cell_y(F.col(ymax), cell_deg)
+    ny = _ny(cell_deg)
     return (
         df.withColumn("_cx", F.explode(F.sequence(cx_lo, cx_hi)))
         .withColumn("_cy", F.explode(F.sequence(cy_lo, cy_hi)))
-        .withColumn(out, F.col("_cx") * N_Y + F.col("_cy"))
+        .withColumn(out, F.col("_cx") * ny + F.col("_cy"))
         .drop("_cx", "_cy")
     )
 

@@ -9,8 +9,10 @@ from terrakit_spark.operators import (  # noqa: F401
     knn,
     labels,
     mosaic,
+    multimodal,
     pipeline_query,
     rasterize,
+    store,
     relational,
     similarity,
     spatial_join,

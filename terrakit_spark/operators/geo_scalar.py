@@ -57,5 +57,57 @@ FROM labels
 """
 
 
+def _domain_assign(dialect: str) -> str:
+    """J3 — containment + smallest-area argmin (the CORDEX-domain pick,
+    /root/reference/terrakit/download/data_connectors/climate_data_store.py:134-234):
+    for each scene center, find domains containing it and keep the
+    smallest-area one."""
+    domains = """
+SELECT * FROM (VALUES
+  ('GLOBAL', -180.0, -90.0, 180.0, 90.0),
+  ('WEST',   -180.0, -90.0,    0.0, 90.0),
+  ('EAST',      0.0, -90.0,  180.0, 90.0),
+  ('TROPICS', -180.0, -25.0, 180.0, 25.0),
+  ('HOTSPOT',    8.0,  10.0,   16.0, 16.0),
+  ('NORTHBOX', -60.0,  30.0,   60.0, 80.0)
+) AS t(domain, dxmin, dymin, dxmax, dymax)
+"""
+    return f"""
+SELECT scene_id, domain, domain_area FROM (
+  SELECT s.scene_id, d.domain,
+         (d.dxmax - d.dxmin) * (d.dymax - d.dymin) AS domain_area,
+         row_number() OVER (
+           PARTITION BY s.scene_id
+           ORDER BY (d.dxmax - d.dxmin) * (d.dymax - d.dymin) ASC, d.domain ASC
+         ) AS rn
+  FROM (SELECT scene_id, (xmin + xmax) / 2 AS cx0, (ymin + ymax) / 2 AS cy0 FROM scenes) s
+  JOIN ({domains}) d
+    ON s.cx0 >= d.dxmin AND s.cx0 <= d.dxmax AND s.cy0 >= d.dymin AND s.cy0 <= d.dymax
+) t WHERE rn = 1
+"""
+
+
+def _descriptive_stats(dialect: str) -> str:
+    """A4 — mean/median/min/max/std/count
+    (/root/reference/terrakit/general_utils/statistics.py:8-45), masked
+    variant = pre-filter (non-error events)."""
+    median = "percentile(value, 0.5)" if dialect == "spark" else "quantile_cont(value, 0.5)"
+    # population std from exact sums, identical expression both engines
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_v,
+       round({median}, 6) AS median_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(sqrt(sum(value * value) / count(*) - avg(value) * avg(value)), 6) AS std_v
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 register_sql("geo_scalars", _geo_scalars, tables=["scenes"])
 register_sql("date_token_extract", _date_token_extract, tables=["labels"])
+register_sql("domain_assign", _domain_assign, tables=["scenes"])
+register_sql("descriptive_stats", _descriptive_stats, tables=[])

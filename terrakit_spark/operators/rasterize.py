@@ -46,13 +46,19 @@ def burn_image(
     """Burn polygons (pre-sorted by geom_seq) over the pixel grid; later
     polygons overwrite earlier. Pixel center (x,y) = (xmin + (x+0.5)*res,
     ymax - (y+0.5)*res), north-up."""
-    img = np.full((height, width), fill, dtype=np.int32)
+    UNSET = np.int32(-2147483648)
+    img = np.full((height, width), UNSET, dtype=np.int32)
     if not polys:
+        img[:] = fill
         return img
     xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
     ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res  # decreasing
     ys_rev = ys[::-1]
-    for poly, cls in zip(polys, classes):
+    # REVERSE geom_seq order with first-write-wins == forward last-wins, and
+    # lets dense hotspots short-circuit: once a region is written, polygons
+    # underneath never pay a ray cast. Bounds total PIP work by O(pixels)
+    # instead of O(pixels x overlapping polygons).
+    for poly, cls in zip(reversed(polys), reversed(classes)):
         bx0, by0 = poly.min(axis=0)
         bx1, by1 = poly.max(axis=0)
         # rectangle of pixels whose centers fall inside the polygon bbox
@@ -63,12 +69,18 @@ def burn_image(
         y_hi = height - int(np.searchsorted(ys_rev, by0, "left"))
         if x_lo >= x_hi or y_lo >= y_hi:
             continue
-        nrow, ncol = y_hi - y_lo, x_hi - x_lo
-        sub_gx = np.broadcast_to(xs[x_lo:x_hi], (nrow, ncol)).ravel()
-        sub_gy = np.repeat(ys[y_lo:y_hi], ncol)
-        hit = ray_cast(sub_gx, sub_gy, np.broadcast_to(poly, (sub_gx.size, poly.shape[0], 2)))
         block = img[y_lo:y_hi, x_lo:x_hi]
-        block[hit.reshape(nrow, ncol)] = cls
+        unset = block == UNSET
+        if not unset.any():
+            continue
+        rows, cols = np.nonzero(unset)
+        hit = ray_cast(
+            xs[x_lo + cols],
+            ys[y_lo + rows],
+            np.broadcast_to(poly, (rows.size, poly.shape[0], 2)),
+        )
+        block[rows[hit], cols[hit]] = cls
+    img[img == UNSET] = fill
     return img
 
 

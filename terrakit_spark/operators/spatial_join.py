@@ -34,11 +34,16 @@ def cell_pip_join(
     vertices: str = "vertices",
     broadcast_polys: bool = True,
     n_salts: int = 0,
+    cell_deg: float = 0.25,
 ) -> DataFrame:
     """points(px, py, ...) x polys(xmin..ymax bbox cols, vertices flat
-    [x0,y0,...], ...) -> matched pairs (all columns from both sides)."""
-    p = with_point_cell(points, px, py, out="_cell")
-    g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell")
+    [x0,y0,...], ...) -> matched pairs (all columns from both sides).
+
+    cell_deg=0.25 (finer than the polygon radius) keeps hotspot candidate
+    lists small: candidates per point ~= polygons overlapping its 0.25-deg
+    cell rather than every polygon within a degree."""
+    p = with_point_cell(points, px, py, out="_cell", cell_deg=cell_deg)
+    g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     if n_salts > 0:
         p = with_salt(p, "_cell", n_salts, F.col(px), out="_salt")
         g = replicate_salts(g, n_salts, out="_salt")
