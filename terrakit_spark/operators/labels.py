@@ -60,6 +60,35 @@ FROM labels
 """
 
 
+def _metadata_lookup(dialect: str) -> str:
+    """S3/J5 — filename -> date lookup against a metadata.csv table
+    (broadcast hash join on filename,
+    /root/reference/terrakit/transform/labels.py:232-245). Labels missing
+    from the metadata (or with malformed dates) fall back to filename
+    extraction; the tally mirrors the reference's failure counting."""
+    d = D(dialect)
+    tok = (
+        "regexp_extract(l.filename, 'label_(\\\\d{8})_', 1)"
+        if dialect == "spark"
+        else "regexp_extract(l.filename, 'label_(\\d{8})_', 1)"
+    )
+    meta = """
+SELECT filename, datetime AS mdate FROM labels WHERE label_id % 2 = 0
+UNION ALL
+SELECT 'orphan_file.json' AS filename, '2024-13-99' AS mdate
+"""
+    valid_mdate = "m.mdate IS NOT NULL AND m.mdate >= '1950-01-01' AND m.mdate <= '2026-12-31' AND length(m.mdate) = 10 AND substr(m.mdate, 6, 2) <= '12'"
+    return f"""
+SELECT l.label_id,
+       CASE WHEN {valid_mdate} THEN 'metadata' ELSE 'filename' END AS date_source,
+       CASE WHEN {valid_mdate} THEN m.mdate
+            ELSE {d.date_str(d.parse_date_token(tok))} END AS resolved_date
+FROM labels l
+LEFT JOIN ({meta}) m ON m.filename = l.filename
+"""
+
+
 register_sql("labels_load", _labels_load, tables=["labels"])
 register_sql("grouped_bbox", _grouped_bbox, tables=["labels"])
 register_sql("label_tally", _label_tally, tables=["labels"])
+register_sql("metadata_lookup", _metadata_lookup, tables=["labels"])

@@ -57,11 +57,39 @@ def matched_scenes(spark: SparkSession, scene_pred: str) -> DataFrame:
     return scenes.join(F.broadcast(asof), "scene_date_str")
 
 
+# §2.10 — pluggable download-transformation registry (the reference's
+# template at download/transformations/download_transformation_template.py,
+# registration at download/download_data.py:300-307): name -> cube kernel
+def _t_scale(cube):
+    from terrakit_spark.functions.raster_kernels import scale_bands
+
+    return scale_bands(cube, [0.5] * cube.shape[0])
+
+
+def _t_impute(cube):
+    import numpy as np
+
+    from terrakit_spark.functions.raster_kernels import impute_nodata_nearest
+
+    return np.stack([impute_nodata_nearest(cube[b]) for b in range(cube.shape[0])])
+
+
+TRANSFORMS = {
+    "scale_data": _t_scale,
+    "impute_nans": _t_impute,
+}
+
+
+def register_transform(name: str, fn) -> None:
+    TRANSFORMS[name] = fn
+
+
 def chip_pipeline(
     spark: SparkSession,
     sf_dir: str,
     scene_pred: str = "true",
     shuffle_parts: int | None = None,
+    transforms: list[str] | None = None,
 ) -> DataFrame:
     """Returns the chip table: one row per (scene, window) with data chip,
     label chip, and per-band integer stat partials."""
@@ -106,6 +134,8 @@ def chip_pipeline(
                     rows = []
                 nb, h, w = int(r.bands), int(r.height), int(r.width)
                 cube = scene_pixels(int(r.scene_id), nb, h, w)  # data fetch (S6)
+                for tname in transforms or []:
+                    cube = TRANSFORMS[tname](cube)
                 if r.polys is not None and len(r.polys) > 0:
                     polys = [
                         np.array(
