@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from terrakit_spark.dialect import DUCK
 from terrakit_spark.operators.chips import SMALL_PRED_SQL
-from terrakit_spark.pipeline import chip_pipeline
 from terrakit_spark.registry import register_df, with_synth
 from terrakit_spark.synth import NODATA_EVERY, PIXEL_BASE, PIXEL_MOD
 
@@ -38,11 +37,15 @@ def _summary(chips: DataFrame) -> DataFrame:
 
 
 def pipeline_summary_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrakit_spark.pipeline import chip_pipeline  # lazy: avoids import cycle
+
     chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL)
     return _summary(chips)
 
 
 def chip_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrakit_spark.pipeline import chip_pipeline  # lazy: avoids import cycle
+
     chips = chip_pipeline(spark, sf_dir, scene_pred="(scene_id % 25) = 0")
     return (
         _summary(chips)

@@ -48,16 +48,33 @@ def burn_image(
     ymax - (y+0.5)*res), north-up."""
     UNSET = np.int32(-2147483648)
     img = np.full((height, width), UNSET, dtype=np.int32)
-    if not polys:
+    if len(polys) == 0:
         img[:] = fill
         return img
     xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
     ys = ymax - (np.arange(height, dtype=np.float64) + 0.5) * res  # decreasing
     ys_rev = ys[::-1]
-    # REVERSE geom_seq order with first-write-wins == forward last-wins, and
-    # lets dense hotspots short-circuit: once a region is written, polygons
-    # underneath never pay a ray cast. Bounds total PIP work by O(pixels)
-    # instead of O(pixels x overlapping polygons).
+
+    # coarse occupancy grid: per-tile unset counts let fully-occluded
+    # polygons skip without touching pixels (painter's algorithm with
+    # occlusion culling — dense hotspots overlap thousands of polygons)
+    TS = 64
+    th = (height + TS - 1) // TS
+    tw = (width + TS - 1) // TS
+    tiles_unset = np.zeros((th, tw), dtype=np.int64)
+    for ty in range(th):
+        for tx in range(tw):
+            tiles_unset[ty, tx] = min(TS, height - ty * TS) * min(TS, width - tx * TS)
+
+    def _recount(ty0, ty1, tx0, tx1):
+        for ty in range(ty0, ty1):
+            for tx in range(tx0, tx1):
+                blk = img[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
+                tiles_unset[ty, tx] = int((blk == UNSET).sum())
+
+    # REVERSE geom_seq order with first-write-wins == forward last-wins:
+    # once a region is written, polygons underneath never pay a ray cast,
+    # bounding total PIP work by O(pixels), not O(pixels x polygons).
     for poly, cls in zip(reversed(polys), reversed(classes)):
         bx0, by0 = poly.min(axis=0)
         bx1, by1 = poly.max(axis=0)
@@ -69,6 +86,10 @@ def burn_image(
         y_hi = height - int(np.searchsorted(ys_rev, by0, "left"))
         if x_lo >= x_hi or y_lo >= y_hi:
             continue
+        ty0, ty1 = y_lo // TS, (y_hi - 1) // TS + 1
+        tx0, tx1 = x_lo // TS, (x_hi - 1) // TS + 1
+        if tiles_unset[ty0:ty1, tx0:tx1].sum() == 0:
+            continue
         block = img[y_lo:y_hi, x_lo:x_hi]
         unset = block == UNSET
         if not unset.any():
@@ -79,7 +100,9 @@ def burn_image(
             ys[y_lo + rows],
             np.broadcast_to(poly, (rows.size, poly.shape[0], 2)),
         )
-        block[rows[hit], cols[hit]] = cls
+        if hit.any():
+            block[rows[hit], cols[hit]] = cls
+            _recount(ty0, ty1, tx0, tx1)
     img[img == UNSET] = fill
     return img
 
