@@ -11,6 +11,7 @@ from terrakit_spark.operators import (  # noqa: F401
     mosaic,
     multimodal,
     pipeline_query,
+    polygonize,
     rasterize,
     store,
     relational,

@@ -91,3 +91,12 @@ def polygonize_components(spark: SparkSession, sf_dir: str, label_value: int | N
     if label_value is not None:
         out = out.filter(F.col("label_class") == label_value)  # F1
     return out
+
+
+def _polygonize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return polygonize_components(spark, sf_dir)
+
+
+from terrakit_spark.registry import register_df  # noqa: E402
+
+register_df("raster_polygonize", _polygonize_query)

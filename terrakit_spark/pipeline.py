@@ -122,10 +122,22 @@ def chip_pipeline(
                 "cls": lab["labelclass"].to_numpy(np.int32),
             }
         )
-        src = scenes.select(
-            "scene_id", "scene_date_str", "bands", "width", "height",
-            "xmin", "ymin", "xmax", "ymax",
-        ).repartition(n_parts, "scene_id")
+        # cost-striped partitioning: order scenes by pixel cost desc and
+        # stripe round-robin across partitions (longest-processing-time
+        # placement) — a plain hash repartition leaves fat-dim stragglers
+        # that dominate the stage tail at high parallelism
+        from pyspark.sql import Window as W
+
+        cost = (F.col("width").cast("long") * F.col("height") * F.col("bands"))
+        src = (
+            scenes.select(
+                "scene_id", "scene_date_str", "bands", "width", "height",
+                "xmin", "ymin", "xmax", "ymax",
+            )
+            .withColumn("_p", F.row_number().over(W.orderBy(F.desc(cost), F.col("scene_id"))) % n_parts)
+            .repartitionByRange(n_parts, "_p")
+            .drop("_p")
+        )
     else:
         bc = None
         # -- J2: candidate labels per scene, collected per scene for the burn

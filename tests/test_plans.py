@@ -12,10 +12,12 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_spatial_join_is_broadcast_hash(synth, spark, sf_dir):
+def test_spatial_join_is_equi_hash(synth, spark, sf_dir):
+    # cell equi-join (AQE picks broadcast vs shuffled hash vs SMJ at
+    # runtime); never a nested-loop/cartesian theta join
     df = QUERIES["spatial_join_pip"](spark, sf_dir)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
