@@ -76,10 +76,29 @@ def _diamond_polys(spark: SparkSession) -> DataFrame:
     )
 
 
+_MATERIALIZED: set[int] = set()
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     ensure_base_views(spark, sf_dir)
+    if id(spark) in _MATERIALIZED:
+        return  # synth views already point at materialized parquet
     for name, fn in ALL_TABLES.items():
         spark.sql(fn(SPARK)).createOrReplaceTempView(name)
+
+
+def materialize_synth(spark: SparkSession, sf_dir: str, work_dir: str) -> None:
+    """Write the derived synthetic tables to parquet once and re-point the
+    views at them — the bench measures the engine against stored tables
+    (as a real deployment reads Iceberg), not the on-the-fly derivation."""
+    import os
+
+    ensure_base_views(spark, sf_dir)
+    for name, fn in ALL_TABLES.items():
+        path = os.path.join(work_dir, name)
+        spark.sql(fn(SPARK)).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    _MATERIALIZED.add(id(spark))
 
 
 def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
