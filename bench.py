@@ -81,7 +81,7 @@ SCALING_SCENE_PRED = "(scene_id % 10) = 0"
 SCALING_REPS = 2
 
 
-def run_scaling_level(spark, sf_dir: str, cores: int) -> tuple[dict[str, float], int]:
+def run_scaling_level(spark, sf_dir: str, cores: int, reps: int | None = None) -> tuple[dict[str, float], int]:
     """Compute-bound workload for the N-vs-4N study; per-query min over
     SCALING_REPS repeats (the sandbox host is noisy — min isolates the
     software's scaling from neighbour interference)."""
@@ -104,7 +104,7 @@ def run_scaling_level(spark, sf_dir: str, cores: int) -> tuple[dict[str, float],
     }
     best: dict[str, float] = {}
     rows = 0
-    for rep in range(SCALING_REPS):
+    for rep in range(reps if reps is not None else SCALING_REPS):
         for name, fn in jobs.items():
             t0 = time.time()
             n = fn()
@@ -117,18 +117,28 @@ def run_scaling_level(spark, sf_dir: str, cores: int) -> tuple[dict[str, float],
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # interleave levels across repeats: the sandbox host has multi-minute
+        # noisy-neighbour epochs, so consecutive same-level repeats share the
+        # same (possibly bad) epoch; alternating levels decorrelates it.
+        best: dict[str, dict[str, float]] = {"8": {}, "32": {}}
+        rows_by_level: dict[str, int] = {}
+        for rep in range(SCALING_REPS):
+            for n in ("8", "32"):
+                spark = _build_session(n)
+                timings, rows = run_scaling_level(spark, SF_DIR, int(n), reps=1)
+                rows_by_level[n] = rows
+                for q, t in timings.items():
+                    best[n][q] = min(best[n].get(q, 1e18), t)
+                spark.stop()
         results = {}
         for n in ("8", "32"):
-            spark = _build_session(n)
-            timings, rows = run_scaling_level(spark, SF_DIR, int(n))
-            total = sum(timings.values())
+            total = sum(best[n].values())
             results[n] = {
                 "sec": round(total, 2),
-                "rows": rows,
-                "rows_per_sec": round(rows / total, 1),
-                "queries": timings,
+                "rows": rows_by_level[n],
+                "rows_per_sec": round(rows_by_level[n] / total, 1),
+                "queries": {k: round(v, 3) for k, v in best[n].items()},
             }
-            spark.stop()
         t8, t32 = results["8"]["sec"], results["32"]["sec"]
         eff = (t8 / t32) / 4.0
         print(json.dumps({"scaling": results, "speedup_8_to_32": round(t8 / t32, 3), "efficiency": round(eff, 3)}))
