@@ -77,30 +77,25 @@ def run_queries(spark, sf_dir: str, heavy_only: bool = False) -> tuple[dict[str,
     return timings, rows_out
 
 
-SCALING_SCENE_PRED = "(scene_id % 10) = 0"
+SCALING_SCENE_PRED = "(scene_id % 5) = 0"
 SCALING_REPS = 2
 
 
 def run_scaling_level(spark, sf_dir: str, cores: int, reps: int | None = None) -> tuple[dict[str, float], int]:
-    """Compute-bound workload for the N-vs-4N study; per-query min over
-    SCALING_REPS repeats (the sandbox host is noisy — min isolates the
-    software's scaling from neighbour interference)."""
+    """The scaling JOB is the end-to-end dataset-generation pipeline (the
+    reference's entire purpose): as-of match -> spatial burn -> chip ->
+    stats, at 2x the normal bench scene set so fixed costs (planning,
+    driver-side label broadcast) amortize. Per-query min over repeats —
+    the sandbox host is noisy; min isolates the software's scaling from
+    neighbour interference."""
     import terrakit_spark.operators  # noqa: F401
 
-    from terrakit_spark.operators.knn import knn_media_labels
-    from terrakit_spark.operators.spatial_join import spatial_join_pip
     from terrakit_spark.pipeline import chip_pipeline
-    from terrakit_spark.registry import QUERIES
 
     jobs = {
         "q_chip_pipeline": lambda: chip_pipeline(
             spark, sf_dir, scene_pred=SCALING_SCENE_PRED, shuffle_parts=cores * 4
         ).count(),
-        "q_spatial_join_pip": lambda: spatial_join_pip(spark, sf_dir).count(),
-        "q_knn_grid": lambda: knn_media_labels(spark, sf_dir).count(),
-        "q_minhash_lsh": lambda: QUERIES["minhash_lsh_pairs"](spark, sf_dir).count(),
-        "q_ann_topk": lambda: QUERIES["ann_topk_quantized"](spark, sf_dir).count(),
-        "q_flagship_rollup": lambda: QUERIES["flagship_doc_rollup"](spark, sf_dir).count(),
     }
     best: dict[str, float] = {}
     rows = 0
