@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the pure numpy kernels — the
+reference has no property testing (SURVEY §5); these pin the geometry and
+tiling invariants under randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from terrakit_spark.functions.geometry import ray_cast
+from terrakit_spark.functions.raster_kernels import impute_nodata_nearest
+from terrakit_spark.operators.polygonize import connected_components
+from terrakit_spark.pipeline import _windows
+from terrakit_spark.synth import CHIP
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 2000))
+def test_window_grid_properties(w, h):
+    wins = _windows(w, h)
+    n_x = (w - 1) // CHIP + 1
+    n_y = (h - 1) // CHIP + 1
+    assert len(wins) == n_x * n_y
+    # indices are 0..n-1 in x-major order
+    assert [i for i, _, _ in wins] == list(range(len(wins)))
+    # clamped starts: every window's [start, start+CHIP) covers up to the
+    # raster edge; union of clipped windows covers every pixel
+    covered_x = set()
+    covered_y = set()
+    for _, x, y in wins:
+        assert x + CHIP >= min(w, CHIP) and y + CHIP >= min(h, CHIP)
+        covered_x.update(range(max(x, 0), min(x + CHIP, w)))
+        covered_y.update(range(max(y, 0), min(y + CHIP, h)))
+    assert covered_x == set(range(w)) and covered_y == set(range(h))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-10, 10),
+    st.floats(-10, 10),
+    st.floats(0.1, 3.0),
+    st.floats(0.1, 3.0),
+    st.integers(0, 10**6),
+)
+def test_ray_cast_matches_diamond_closed_form(cx, cy, rx, ry, seed):
+    rng = np.random.RandomState(seed % 2**31)
+    poly = np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]])
+    px = cx + (rng.rand(200) - 0.5) * 4 * rx
+    py = cy + (rng.rand(200) - 0.5) * 4 * ry
+    closed = np.abs(px - cx) / rx + np.abs(py - cy) / ry
+    # exclude numerically-on-boundary points
+    keep = np.abs(closed - 1.0) > 1e-9
+    got = ray_cast(px[keep], py[keep], np.broadcast_to(poly, (int(keep.sum()), 4, 2)))
+    assert (got == (closed[keep] < 1.0)).all()
+
+
+def _cc_oracle(img):
+    """BFS 4-connectivity oracle."""
+    h, w = img.shape
+    seen = np.zeros_like(img, dtype=bool)
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if img[y, x] == 0 or seen[y, x]:
+                continue
+            n += 1
+            stack = [(y, x)]
+            seen[y, x] = True
+            while stack:
+                cy_, cx_ = stack.pop()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = cy_ + dy, cx_ + dx
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] and img[ny, nx] == img[cy_, cx_]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+    return n
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**6), st.integers(2, 12), st.integers(2, 12), st.integers(1, 3))
+def test_connected_components_matches_bfs(seed, h, w, n_classes):
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, n_classes + 1, size=(h, w)).astype(np.int32)
+    comp, n = connected_components(img)
+    assert n == _cc_oracle(img)
+    # component ids partition the foreground
+    assert ((comp > 0) == (img != 0)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**6), st.integers(2, 16), st.integers(2, 16))
+def test_impute_properties(seed, h, w):
+    rng = np.random.RandomState(seed % 2**31)
+    band = rng.randint(500, 11000, size=(h, w)).astype(np.float32)
+    holes = rng.rand(h, w) < 0.3
+    if holes.all():
+        holes[0, 0] = False
+    band[holes] = -9999.0
+    out = impute_nodata_nearest(band)
+    assert not (out == -9999.0).any()
+    # non-hole pixels unchanged
+    assert (out[~holes] == band[~holes]).all()
+    # filled values come from the original value set
+    assert np.isin(out[holes], band[~holes]).all()
