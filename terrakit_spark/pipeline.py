@@ -91,6 +91,7 @@ def chip_pipeline(
     shuffle_parts: int | None = None,
     transforms: list[str] | None = None,
     labels_via: str = "broadcast",
+    skip_zero_scenes: bool = False,
 ) -> DataFrame:
     """Returns the chip table: one row per (scene, window) with data chip,
     label chip, and per-band integer stat partials.
@@ -178,6 +179,9 @@ def chip_pipeline(
                 cube = scene_pixels(int(r.scene_id), nb, h, w)  # data fetch (S6)
                 for tname in transforms or []:
                     cube = TRANSFORMS[tname](cube)
+                if skip_zero_scenes and not cube.any():
+                    # F13 zero-scene guard (sentinelhub.py:174-176)
+                    continue
                 if bc is not None:
                     # broadcast path: vectorized bbox-overlap candidate
                     # selection against the whole (seq-sorted) label layer

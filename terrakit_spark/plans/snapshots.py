@@ -101,8 +101,10 @@ class SnapshotTable:
         return manifest
 
     # ------------------------------------------------------------ read
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [s.data_dir for s in self.snapshots()]
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
+        """Read the committed table; with ``as_of`` only snapshots with
+        snapshot_id <= as_of are visible (Iceberg time-travel semantics)."""
+        dirs = [s.data_dir for s in self.snapshots() if as_of is None or s.snapshot_id <= as_of]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

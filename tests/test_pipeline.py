@@ -50,3 +50,16 @@ def test_dataset_stats_sane(synth, sf_dir, spark):
     assert len(stats) >= 1
     for r in stats:
         assert r.n_px > 0 and np.isfinite(r["mean"]) and np.isfinite(r["std"])
+
+
+def test_zero_scene_guard(synth, sf_dir, spark):
+    from terrakit_spark.pipeline import chip_pipeline, register_transform
+
+    register_transform("zero_out", lambda cube: cube * 0)
+    pred = "(scene_id % 25) = 15"
+    normal = chip_pipeline(spark, sf_dir, scene_pred=pred).count()
+    assert normal > 0
+    zeroed = chip_pipeline(
+        spark, sf_dir, scene_pred=pred, transforms=["zero_out"], skip_zero_scenes=True
+    ).count()
+    assert zeroed == 0

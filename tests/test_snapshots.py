@@ -57,3 +57,14 @@ def test_resume_skips_committed_partitions(spark, tmp_path):
     # third run: nothing left
     snap3, n3 = run_with_resume(spark, inp, "p", stage, t, "s")
     assert snap3 is None and n3 == 0
+
+
+def test_time_travel_read(spark, tmp_path):
+    from terrakit_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tt"))
+    t.commit(spark.range(3).withColumn("p", F.lit("a")), step="s1", partition_col="p")
+    t.commit(spark.range(4).withColumn("p", F.lit("b")), step="s2", partition_col="p")
+    assert t.read(spark).count() == 7
+    assert t.read(spark, as_of=0).count() == 3
+    assert t.read(spark, as_of=99).count() == 7
