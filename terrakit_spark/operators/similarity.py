@@ -64,6 +64,26 @@ SELECT qid, rank, vec_id, cos_sim FROM (
 register_sql("ann_topk_quantized", _ann_topk, tables=[])
 
 
+def _embedding_near_dup(dialect: str) -> str:
+    """Embedding-cosine near-duplicate pairs: all pairs with quantized
+    cosine >= 0.45 over a deterministic subset (brute verify path; at scale
+    the LSH buckets generate the candidates). Same exact-integer dot."""
+    d = D(dialect)
+    return f"""
+SELECT d1, d2, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST({_dot(d, 'a.qe', 'b.qe')} AS DOUBLE)
+           / sqrt(CAST({_dot(d, 'a.qe', 'a.qe')} AS DOUBLE) * CAST({_dot(d, 'b.qe', 'b.qe')} AS DOUBLE)) AS cos_sim
+  FROM (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM embeddings WHERE (vec_id % 10) = 0) a
+  JOIN (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM embeddings WHERE (vec_id % 10) = 0) b
+    ON b.vec_id > a.vec_id
+) t WHERE cos_sim >= 4.5e-1
+"""
+
+
+register_sql("embedding_near_dup", _embedding_near_dup, tables=[])
+
+
 N_PLANES = 8
 
 

@@ -59,6 +59,47 @@ def run_available_now(df: DataFrame, checkpoint: str, query_name: str) -> None:
     q.awaitTermination()
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows with a
+    30-minute inactivity gap — built on session_window (state-store backed;
+    the applyInPandasWithState escape hatch is only needed for logic
+    session_window can't express)."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+    )
+
+
+def sessionize_batch(spark: SparkSession, input_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Batch oracle for sessionization: classic gaps-and-islands with a lag
+    window — used to verify the streaming result on a static input."""
+    src = spark.read.schema(EVENT_SCHEMA).parquet(input_dir)
+    src.createOrReplaceTempView("_sess_events")
+    return spark.sql(
+        f"""
+        SELECT min(ts) AS session_start, user_id,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM (
+            SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  + INTERVAL {gap_minutes} MINUTES
+                           THEN 1 ELSE 0 END AS is_new
+            FROM _sess_events) _m) _s
+        GROUP BY user_id, session_id
+        """
+    )
+
+
 def batch_equivalent(spark: SparkSession, input_dir: str, window: str = "1 hour") -> DataFrame:
     """The same aggregation as a batch job — used to verify the streaming
     result equals the batch result on a static input."""

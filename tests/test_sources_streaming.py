@@ -46,3 +46,25 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.table("evt_counts").collect()}
     want = {tuple(r) for r in batch_equivalent(spark, inp).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    from terrakit_spark.streaming.incremental import (
+        run_available_now,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    inp = str(tmp_path / "sess_in")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(inp)
+    )
+    run_available_now(sessionize_stream(spark, inp), str(tmp_path / "sess_ckpt"), "sessions")
+    got = {(r.user_id, r.session_start, r.n_events, r.sum_value) for r in spark.table("sessions").collect()}
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in sessionize_batch(spark, inp).collect()
+    }
+    assert got == want and len(want) > 0
