@@ -1,0 +1,168 @@
+"""Staged CLI mirroring the reference's entry points
+(/root/reference/terrakit/__main__.py:47-101: labels -> download -> chip ->
+store, each stage validated, executed, and lineage-recorded). Here every
+stage is one Spark job writing a snapshot-committed table under the working
+dir; filename conventions become key columns; re-runs resume from committed
+partitions (the reference's file-presence idempotence upgraded to snapshot
+checkpoints).
+
+  python -m terrakit_spark labels   --sf-dir D --working-dir W
+  python -m terrakit_spark download --sf-dir D --working-dir W
+  python -m terrakit_spark chip     --sf-dir D --working-dir W [--scene-pred P] [--transforms t1,t2]
+  python -m terrakit_spark store    --sf-dir D --working-dir W
+  python -m terrakit_spark pipeline --sf-dir D --working-dir W   (all four)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from terrakit_spark.operators.spatial_join import _register_views
+from terrakit_spark.plans.snapshots import SnapshotTable
+from terrakit_spark.session import get_spark
+from terrakit_spark.validate import validate_date_range
+
+DEFAULT_PRED = "(scene_id % 25) = 0"
+
+
+def _table(working_dir: str, name: str) -> SnapshotTable:
+    return SnapshotTable(os.path.join(working_dir, name))
+
+
+def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
+    """labels stage: load label layer + per-date grouped bboxes
+    (transform/labels.py:477-591)."""
+    _register_views(spark, sf_dir)
+    labels = spark.sql(
+        """
+        SELECT label_id, geom_seq, datetime, labelclass, filename,
+               cx, cy, rx, ry,
+               cx - rx AS xmin, cy - ry AS ymin, cx + rx AS xmax, cy + ry AS ymax
+        FROM labels
+        """
+    )
+    bboxes = spark.sql(
+        """
+        SELECT dc.datetime, dc.labelclass, env.xmin, env.ymin, env.xmax, env.ymax
+        FROM (SELECT DISTINCT datetime, labelclass FROM labels) dc
+        JOIN (SELECT datetime, min(cx - rx) AS xmin, min(cy - ry) AS ymin,
+                     max(cx + rx) AS xmax, max(cy + ry) AS ymax
+              FROM labels GROUP BY datetime) env
+          ON dc.datetime = env.datetime
+        """
+    )
+    s1 = _table(working_dir, "labels").commit(labels, step="labels", partition_col="datetime")
+    s2 = _table(working_dir, "bboxes").commit(bboxes, step="labels_bboxes", partition_col="datetime")
+    return {"labels_rows": s1.n_rows, "bbox_rows": s2.n_rows}
+
+
+def stage_download(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
+    """download stage: as-of match label dates to scenes (J1) — the
+    'queried data' table (download/download_data.py:219-324)."""
+    _register_views(spark, sf_dir)
+    from terrakit_spark.operators.asof import _asof_join
+
+    matched = spark.sql(_asof_join("spark")).filter("scene_date_str IS NOT NULL")
+    snap = _table(working_dir, "matched").commit(matched, step="download_asof", partition_col="scene_date_str")
+    return {"matched_rows": snap.n_rows}
+
+
+def stage_chip(
+    spark: SparkSession,
+    sf_dir: str,
+    working_dir: str,
+    scene_pred: str = DEFAULT_PRED,
+    transforms: list[str] | None = None,
+) -> dict:
+    """chip stage: burn + edge-clamped 256 windows + stats; resumable by
+    scene_date partition (chip/tiling.py:228-372)."""
+    from terrakit_spark.pipeline import chip_pipeline, dataset_stats
+    from terrakit_spark.plans.snapshots import run_with_resume
+
+    table = _table(working_dir, "chips")
+    done = table.committed_partitions()
+    chips = chip_pipeline(spark, sf_dir, scene_pred=scene_pred, transforms=transforms)
+    if done:
+        done_df = spark.createDataFrame([(k,) for k in done], "d string")
+        chips = chips.join(done_df, chips["scene_date_str"] == done_df["d"], "left_anti")
+    n_new = chips.limit(1).count()
+    if n_new == 0:
+        return {"chips_rows": 0, "resumed": True}
+    snap = table.commit(chips, step="chip", partition_col="scene_date_str")
+    stats = dataset_stats(table.read(spark)).collect()
+    props = {
+        "dataset": "terrakit_spark_dataset",
+        "bands": [
+            {"band": r["band"], "n_px": r["n_px"], "mean": r["mean"], "std": r["std"]} for r in stats
+        ],
+    }
+    with open(os.path.join(working_dir, "dataset_properties.json"), "w") as fh:
+        json.dump(props, fh)  # K8 (chip/tiling.py:49-74)
+    return {"chips_rows": snap.n_rows, "resumed": False}
+
+
+def stage_store(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
+    """store stage: package chips with deterministic splits (store/taco.py)."""
+    table = _table(working_dir, "chips")
+    chips = table.read(spark)
+    if chips is None:
+        raise SystemExit("chip stage has not run")
+    from terrakit_spark.operators.split import KNUTH
+
+    key = F.col("scene_id") * 1000 + F.col("win_index")
+    bucket = (key * F.lit(KNUTH)) % 100
+    ds = chips.select(
+        F.format_string("%d_%d.data.tif", "scene_id", "win_index").alias("file_path"),
+        F.format_string("%d_%d.label.tif", "scene_id", "win_index").alias("label_file"),
+        F.when(bucket < 64, "train").when(bucket < 80, "val").otherwise("test").alias("data_split"),
+        "scene_id",
+        "win_index",
+        "scene_date_str",
+        "label_mass",
+    )
+    snap = _table(working_dir, "dataset").commit(ds, step="store", partition_col="data_split")
+    return {"dataset_rows": snap.n_rows, "splits": snap.partition_rows}
+
+
+STAGES = {
+    "labels": stage_labels,
+    "download": stage_download,
+    "chip": stage_chip,
+    "store": stage_store,
+}
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="terrakit_spark")
+    p.add_argument("stage", choices=[*STAGES, "pipeline"])
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--working-dir", required=True)
+    p.add_argument("--scene-pred", default=DEFAULT_PRED)
+    p.add_argument("--transforms", default="")
+    p.add_argument("--date-start", default="2024-01-01")
+    p.add_argument("--date-end", default="2024-12-31")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    validate_date_range(args.date_start, min(args.date_end, "2026-08-16"))
+    os.makedirs(args.working_dir, exist_ok=True)
+    spark = get_spark(master=args.master)
+    transforms = [t for t in args.transforms.split(",") if t]
+
+    def run(stage: str) -> dict:
+        if stage == "chip":
+            return stage_chip(spark, args.sf_dir, args.working_dir, args.scene_pred, transforms)
+        return STAGES[stage](spark, args.sf_dir, args.working_dir)
+
+    stages = [*STAGES] if args.stage == "pipeline" else [args.stage]
+    out = {s: run(s) for s in stages}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
