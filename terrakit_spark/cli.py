@@ -149,7 +149,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    validate_date_range(args.date_start, min(args.date_end, "2026-08-16"))
+    from terrakit_spark.validate import ValidationError
+
+    try:
+        validate_date_range(args.date_start, min(args.date_end, "2026-08-16"))
+    except ValidationError as exc:
+        raise SystemExit(f"terrakit_spark: invalid arguments: {exc}") from None
     os.makedirs(args.working_dir, exist_ok=True)
     spark = get_spark(master=args.master)
     transforms = [t for t in args.transforms.split(",") if t]
