@@ -140,6 +140,7 @@ def main() -> None:
         return
 
     spark = _build_session(CPUS)
+    spark.range(1_000_000).count()  # JVM/codegen warmup outside timings
     t0 = time.time()
     timings, rows = run_queries(spark, SF_DIR)
     total = time.time() - t0
