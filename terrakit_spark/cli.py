@@ -81,18 +81,23 @@ def stage_chip(
 ) -> dict:
     """chip stage: burn + edge-clamped 256 windows + stats; resumable by
     scene_date partition (chip/tiling.py:228-372)."""
-    from terrakit_spark.pipeline import chip_pipeline, dataset_stats
-    from terrakit_spark.plans.snapshots import run_with_resume
+    from terrakit_spark.pipeline import chip_pipeline, dataset_stats, matched_scenes
 
     table = _table(working_dir, "chips")
     done = table.committed_partitions()
-    chips = chip_pipeline(spark, sf_dir, scene_pred=scene_pred, transforms=transforms)
     if done:
-        done_df = spark.createDataFrame([(k,) for k in done], "d string")
-        chips = chips.join(done_df, chips["scene_date_str"] == done_df["d"], "left_anti")
-    n_new = chips.limit(1).count()
-    if n_new == 0:
-        return {"chips_rows": 0, "resumed": True}
+        # Resume skips committed scene_date partitions at the SCENES input —
+        # below the mapInPandas chipper — so a resumed run never re-burns or
+        # re-chips committed work (an anti-join above the chipper cannot be
+        # pushed down past the UDF).
+        quoted = ", ".join(f"'{k}'" for k in sorted(done))
+        scene_pred = f"({scene_pred}) AND scene_date_str NOT IN ({quoted})"
+        from terrakit_spark.operators.spatial_join import _register_views
+
+        _register_views(spark, sf_dir)
+        if matched_scenes(spark, scene_pred).limit(1).count() == 0:
+            return {"chips_rows": 0, "resumed": True}
+    chips = chip_pipeline(spark, sf_dir, scene_pred=scene_pred, transforms=transforms)
     snap = table.commit(chips, step="chip", partition_col="scene_date_str")
     stats = dataset_stats(table.read(spark)).collect()
     props = {
@@ -152,7 +157,7 @@ def main(argv: list[str] | None = None) -> None:
     from terrakit_spark.validate import ValidationError
 
     try:
-        validate_date_range(args.date_start, min(args.date_end, "2026-08-16"))
+        validate_date_range(args.date_start, args.date_end)
     except ValidationError as exc:
         raise SystemExit(f"terrakit_spark: invalid arguments: {exc}") from None
     os.makedirs(args.working_dir, exist_ok=True)

@@ -65,6 +65,41 @@ class D:
             return f"to_date({s}, 'yyyyMMdd')"
         return f"strptime({s}, '%Y%m%d')::DATE"
 
+    # date -> 'YYYYDDD' (year + zero-padded day-of-year) compact token
+    def date_token7(self, date_expr: str) -> str:
+        if self.d == SPARK:
+            return f"date_format({date_expr}, 'yyyyDDD')"
+        return f"strftime({date_expr}, '%Y%j')"
+
+    # date -> 'YYMMDD' compact token
+    def date_token6(self, date_expr: str) -> str:
+        if self.d == SPARK:
+            return f"date_format({date_expr}, 'yyMMdd')"
+        return f"strftime({date_expr}, '%y%m%d')"
+
+    def try_parse_8(self, s: str) -> str:
+        """'YYYYMMDD' -> date, NULL when not a real calendar date."""
+        if self.d == SPARK:
+            return f"to_date(try_to_timestamp({s}, 'yyyyMMdd'))"
+        return f"CAST(try_strptime({s}, '%Y%m%d') AS DATE)"
+
+    def try_parse_7(self, s: str) -> str:
+        """'YYYYDDD' (day-of-year) -> date, NULL when invalid.
+
+        Manual make_date + day offset in BOTH dialects: DuckDB's strptime
+        silently ignores %j (returns Jan 1), and the arithmetic form also
+        rejects day 366 in non-leap years via the same-year check.
+        """
+        y = f"CAST(substring({s}, 1, 4) AS INT)"
+        ddd = f"CAST(substring({s}, 5, 3) AS INT)"
+        dt = self.date_add(f"make_date({y}, 1, 1)", f"{ddd} - 1")
+        return f"(CASE WHEN {ddd} >= 1 AND year({dt}) = {y} THEN {dt} END)"
+
+    def regexp_extract_all_expr(self, s: str, pattern: str) -> str:
+        if self.d == SPARK:
+            return f"regexp_extract_all({s}, '{pattern}', 0)"
+        return f"regexp_extract_all({s}, '{pattern}')"
+
     # printf-style formatting
     def fmt(self, fmt: str, *args: str) -> str:
         fn = "format_string" if self.d == SPARK else "printf"

@@ -7,8 +7,8 @@ them; polygons/bboxes explode to their cover cells; spatial joins become
 cell equi-joins (broadcast or shuffled hash) followed by an exact refine.
 
 Everything here is Spark column expressions (JVM codegen, no Python):
-cell = floor(lon+180)*180 + floor(lat+90), matching synth.cell_expr so the
-DuckDB oracle computes the identical key.
+cell = cell_x*ny + cell_y with ny = 180/cell_deg + 1; the DuckDB oracle
+templates inline the identical formula so keys match bit-for-bit.
 """
 
 from __future__ import annotations

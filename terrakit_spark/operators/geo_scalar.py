@@ -43,17 +43,62 @@ FROM scenes
 
 
 def _date_token_extract(dialect: str) -> str:
+    """F10 — full filename date-token extraction
+    (/root/reference/terrakit/general_utils/geospatial_util.py:754-822):
+    standalone 6/7/8-digit tokens (maximal digit runs), parsed as
+    YYMMDD / YYYYDDD / YYYYMMDD, bounds-checked to [1950-01-01, today],
+    with first/last/max/min preference over the valid tokens.
+
+    Test filenames are derived per label (label_id % 5 variants) so the
+    oracle exercises: each format alone, multiple competing tokens, and
+    unparseable / out-of-range / too-long digit runs that must be skipped.
+    """
     d = D(dialect)
-    pat = "'(\\\\d{8})'" if dialect == "spark" else "'(\\d{8})'"
-    tok = f"regexp_extract(filename, {pat}, 1)"
-    parsed = d.parse_date_token(tok)
+    pat = "\\\\d+" if dialect == "spark" else "\\d+"
+    # century rule matches C strptime %y: 00-68 -> 20xx, 69-99 -> 19xx
+    tok8_from6 = "concat(CASE WHEN substring(tok, 1, 2) <= '68' THEN '20' ELSE '19' END, tok)"
+    parsed = f"""CASE length(tok)
+          WHEN 8 THEN {d.try_parse_8('tok')}
+          WHEN 7 THEN {d.try_parse_7('tok')}
+          WHEN 6 THEN {d.try_parse_8(tok8_from6)}
+        END"""
+    dt2 = d.date_add("dt", "(label_id % 61) - 30")
+    fname = f"""CASE label_id % 5
+       WHEN 0 THEN filename
+       WHEN 1 THEN {d.fmt('scene_%s_x.tif', d.date_token7('dt'))}
+       WHEN 2 THEN {d.fmt('img_%s.png', d.date_token6('dt'))}
+       WHEN 3 THEN {d.fmt('a_%s_b_%s.nc', d.date_token('dt'), d.date_token(dt2))}
+       ELSE {d.fmt('x99999999_%s_123456789_19400101.json', d.date_token('dt'))}
+     END"""
+    if dialect == "spark":
+        explode = "LATERAL VIEW posexplode(runs) _e AS pos0, tok"
+        tok_pos = "SELECT label_id, fname, pos0 + 1 AS pos, tok FROM f " + explode
+    else:
+        tok_pos = (
+            "SELECT label_id, fname, unnest(runs) AS tok, "
+            "unnest(generate_series(1, len(runs))) AS pos FROM f"
+        )
     return f"""
-SELECT label_id, filename,
-       {tok} AS token,
-       CASE WHEN {tok} <> ''
-             AND {parsed} >= DATE '1950-01-01' AND {parsed} <= DATE '2026-12-31'
-            THEN {d.date_str(parsed)} END AS token_date
-FROM labels
+WITH f AS (
+  SELECT label_id, fname, {d.regexp_extract_all_expr('fname', pat)} AS runs
+  FROM (SELECT label_id, dt, filename, {fname} AS fname FROM labels) _l
+),
+t AS (
+  SELECT * FROM ({tok_pos}) _t WHERE length(tok) BETWEEN 6 AND 8
+),
+v AS (
+  SELECT label_id, pos, tok, d FROM (SELECT label_id, pos, tok, {parsed} AS d FROM t) _p
+  WHERE d IS NOT NULL AND d >= DATE '1950-01-01' AND d <= current_date
+)
+SELECT f.label_id, f.fname,
+       CAST({d.arr_len('f.runs')} AS INT) AS n_digit_runs,
+       CAST(count(v.tok) AS INT) AS n_valid,
+       {d.date_str('min_by(v.d, v.pos)')} AS prefer_first,
+       {d.date_str('max_by(v.d, v.pos)')} AS prefer_last,
+       {d.date_str('max(v.d)')} AS prefer_max,
+       {d.date_str('min(v.d)')} AS prefer_min
+FROM f LEFT JOIN v ON f.label_id = v.label_id
+GROUP BY f.label_id, f.fname, {d.arr_len('f.runs')}
 """
 
 
@@ -62,8 +107,14 @@ def _domain_assign(dialect: str) -> str:
     /root/reference/terrakit/download/data_connectors/climate_data_store.py:134-234):
     for each scene center, find domains containing it and keep the
     smallest-area one."""
+    # Bounds cast to DOUBLE: Spark and DuckDB infer different DECIMAL
+    # precisions from the raw literals (DECIMAL(10,2) vs DECIMAL(9,2)),
+    # which made domain_area's type — and the value hash — diverge.
     domains = """
-SELECT * FROM (VALUES
+SELECT domain,
+       CAST(dxmin AS DOUBLE) AS dxmin, CAST(dymin AS DOUBLE) AS dymin,
+       CAST(dxmax AS DOUBLE) AS dxmax, CAST(dymax AS DOUBLE) AS dymax
+FROM (VALUES
   ('GLOBAL', -180.0, -90.0, 180.0, 90.0),
   ('WEST',   -180.0, -90.0,    0.0, 90.0),
   ('EAST',      0.0, -90.0,  180.0, 90.0),

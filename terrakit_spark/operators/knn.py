@@ -67,7 +67,7 @@ def _phase_topk(q: DataFrame, c: DataFrame, k: int, cell_deg: float, ring: int) 
         .filter((F.col("_n") >= k) & (F.col("_kth") < F.lit(bound)))
         .select("qid")
     )
-    return topk.join(F.broadcast(proven), "qid", "left_semi"), proven
+    return topk.join(F.broadcast(proven), "qid", "left_semi"), proven, topk
 
 
 def grid_knn(
@@ -82,11 +82,13 @@ def grid_knn(
     cols = ["qid", "rank", "label_id", "dist2"]
     candidates = candidates.cache()
     remaining = queries.select("qid", "mx", "my").cache()
+    cached = [candidates, remaining]
     parts = []
     for cell_deg, ring in schedule:
-        topk, proven = _phase_topk(remaining, candidates, k, cell_deg, ring)
+        topk, proven, topk_cache = _phase_topk(remaining, candidates, k, cell_deg, ring)
         parts.append(topk.select(*cols))
         remaining = remaining.join(F.broadcast(proven), "qid", "left_anti").cache()
+        cached.extend([topk_cache, remaining])
 
     # residue: exact brute force
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("label_id").asc())
@@ -101,6 +103,11 @@ def grid_knn(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # Materialize once (cuts lineage to the phase caches), then release the
+    # per-phase storage so a long-lived session doesn't leak executor memory.
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out
 
 

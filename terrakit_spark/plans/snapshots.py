@@ -70,9 +70,14 @@ class SnapshotTable:
     # ------------------------------------------------------------ commit
     def commit(self, df: DataFrame, step: str, partition_col: str | None = None) -> Snapshot:
         """Write df as a new snapshot. Data first, manifest last (atomic
-        rename) — the commit point is the rename."""
+        rename) — the commit point is the rename.
+
+        The data dir carries a fresh uuid suffix so commit is
+        crash-retryable: a writer that dies after writing data but before
+        the manifest rename leaves an orphan dir that no manifest references
+        and no retry ever collides with (retries get a new uuid)."""
         sid = self.next_snapshot_id()
-        data_dir = os.path.join(self.root, "data", f"snap={sid}")
+        data_dir = os.path.join(self.root, "data", f"snap={sid}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(data_dir)
 
         spark = df.sparkSession

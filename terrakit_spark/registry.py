@@ -27,11 +27,13 @@ _BASE_TABLES = (
     "embeddings",
 )
 
-_registered_views: set[tuple[int, str]] = set()
+_registered_views: set[tuple[str, str]] = set()
 
 
 def ensure_base_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a GC'd session's id can be reused by a
+    # new session, which would silently skip view registration.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _registered_views:
         return
     for t in _BASE_TABLES:

@@ -190,14 +190,6 @@ FROM ({media_sql(dialect)}) _media
     return f"{text_part} UNION ALL {media_part}"
 
 
-# ---------------------------------------------------------------- cell index
-def cell_expr(x: str, y: str) -> str:
-    """Level-0 grid cell id for a point (1-degree cells): same in both
-    dialects. cell = floor(x+180)*180 + floor(y+90), in [0, 64800)."""
-    return f"(CAST(floor({x} + 1.8e2) AS BIGINT) * 180 + CAST(floor({y} + 9.0e0e1) AS BIGINT))"
-
-
-
 def docs_aug_sql(dialect: str) -> str:
     """Documents augmented with deterministic planted duplicates so dedup
     operators have guaranteed hits: every 89th doc gets an EXACT copy

@@ -36,6 +36,20 @@ def test_crashed_writer_invisible(spark, tmp_path):
     assert t.read(spark).count() == 5  # orphan invisible
 
 
+def test_crashed_commit_is_retryable(spark, tmp_path):
+    """A writer that died after writing data (no manifest) must not block
+    the retry: retries write under a fresh uuid-suffixed dir, never
+    colliding with the orphan."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(5).withColumn("p", F.lit("a")), step="s", partition_col="p")
+    # simulate: next commit (sid=1) wrote its data dir, then crashed
+    orphan = os.path.join(str(tmp_path / "tbl"), "data", "snap=1-deadbeef")
+    spark.range(100).write.parquet(orphan)
+    s = t.commit(spark.range(7).withColumn("p", F.lit("b")), step="s", partition_col="p")
+    assert s.snapshot_id == 1
+    assert t.read(spark).count() == 12  # orphan still invisible
+
+
 def test_resume_skips_committed_partitions(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "tbl"))
     inp = spark.range(100).withColumn("p", (F.col("id") % 4).cast("string"))
