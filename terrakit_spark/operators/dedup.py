@@ -14,8 +14,11 @@ hash-aggregate on the fingerprint."""
 
 from __future__ import annotations
 
-from terrakit_spark.dialect import SPARK, D
-from terrakit_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrakit_spark.dialect import DUCK, SPARK, D
+from terrakit_spark.registry import ensure_base_views, register_df, register_sql, with_synth
 
 MOD = 1000000007
 NUM_HASHES = 8
@@ -150,7 +153,101 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _cluster_edges(dialect: str) -> str:
+    """Duplicate-pair edge set: exact-fingerprint star edges (each group
+    member linked to the group min) UNION the LSH near-dup pairs at
+    jaccard >= 0.2 — the pair graph the cluster pass closes over."""
+    d = D(dialect)
+    if dialect == SPARK:
+        norm = "lower(regexp_replace(text, '\\\\s+', ' '))"
+    else:
+        norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT d1, d2 FROM (
+  WITH fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM docs_aug),
+  g AS (SELECT fingerprint, min(doc_id) AS m FROM fp GROUP BY fingerprint HAVING count(*) > 1)
+  SELECT g.m AS d1, fp.doc_id AS d2
+  FROM g JOIN fp ON fp.fingerprint = g.fingerprint
+  WHERE fp.doc_id > g.m
+) _exact
+UNION
+SELECT d1, d2 FROM ({_minhash_lsh(dialect)}) _lsh
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level dedup CLUSTERS: connected components over the duplicate-pair
+    graph + keeper assignment (min doc_id per component) — the distributed
+    analogue of the reference's drop_duplicates(keep='first')
+    (/root/reference/terrakit/download/download_data.py:233-237) where
+    near-dup pairs are transitive (A~B, B~C => one cluster {A,B,C}).
+
+    Algorithm: iterative hash-min label propagation over the symmetric edge
+    list — each round every node takes the min label among itself and its
+    neighbours; rounds = graph diameter. Each round is one shuffle join +
+    map-side-combinable min aggregate, no Python in the loop body; the
+    label table is localCheckpoint'ed per round to cut lineage. Convergence
+    is detected by the (monotonically decreasing) sum of labels. At 10^12
+    docs the same loop body applies; for adversarial long-chain graphs
+    switch the propagation to large-star/small-star (alternating) which
+    converges in O(log n) rounds on the identical join shape."""
+    ensure_base_views(spark, sf_dir)
+    edges = spark.sql(with_synth(SPARK, _cluster_edges(SPARK), tables=["docs_aug"]))
+    sym = (
+        edges.selectExpr("d1 AS a", "d2 AS b")
+        .unionByName(edges.selectExpr("d2 AS a", "d1 AS b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("lbl", F.col("doc_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(64):  # diameter bound; converges far earlier
+        nbr = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy(sym["a"].alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.alias("L")
+            .join(nbr.alias("N"), "doc_id", "left")
+            .select("doc_id", F.least(F.col("L.lbl"), F.coalesce("N.nlbl", "L.lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """DuckDB transitive closure via recursive CTE (WITH RECURSIVE has to be
+    the leading keyword, so the synth CTEs are inlined here rather than
+    through with_synth)."""
+    from terrakit_spark.synth import ALL_TABLES
+
+    synth = f"docs_aug AS ({ALL_TABLES['docs_aug'](DUCK)})"
+    return f"""
+WITH RECURSIVE {synth},
+edges AS ({_cluster_edges(DUCK)}),
+sym AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT DISTINCT a AS doc_id, a AS lbl FROM sym
+  UNION
+  SELECT s.a AS doc_id, r.lbl FROM reach r JOIN sym s ON s.b = r.doc_id
+)
+SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_keeper
+FROM reach GROUP BY doc_id
+"""
+
+
 register_sql("dedup_exact", _dedup_exact, tables=["docs_aug"])
 register_sql("minhash_lsh_pairs", _minhash_lsh, tables=["docs_aug"])
 register_sql("ngram_jaccard_pairs", _ngram_jaccard, tables=["docs_aug"])
 register_sql("simhash_table", _simhash, tables=["docs_aug"])
+register_df("dedup_clusters", dedup_clusters, oracle=_dedup_clusters_oracle())

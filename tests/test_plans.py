@@ -42,6 +42,18 @@ def test_relational_glue_is_codegen(synth, spark, sf_dir):
     assert "*(1)" in plan
 
 
+def test_grid_knn_matches_broadcast_knn(synth, spark, sf_dir):
+    # the shuffle-path strategy (cell-ring phases + proof bound) must agree
+    # exactly with the oracle-checked broadcast strategy
+    from terrakit_spark.operators.knn import broadcast_knn, grid_knn
+
+    q = spark.sql("SELECT media_ref AS qid, mx, my FROM media WHERE doc_num % 100 = 0")
+    c = spark.sql("SELECT label_id, cx, cy FROM labels")
+    a = sorted(tuple(r) for r in grid_knn(q, c).collect())
+    b = sorted(tuple(r) for r in broadcast_knn(q, c).collect())
+    assert a == b
+
+
 def test_knn_no_global_cartesian_on_ring_phase(synth, spark, sf_dir):
     # phase-1 ring join must be a hash join on cell ids; the fallback
     # crossJoin only ever sees the unproven-query subset
