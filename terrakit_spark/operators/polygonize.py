@@ -4,11 +4,13 @@ and keeps shapes with value == label_value,
 /root/reference/terrakit/transform/labels.py:167-196).
 
 Spark shape: per-scene Arrow batch UDF running a vectorized numpy
-connected-components labelling (4-connectivity, two-pass union-find) over
-the burned image; emits one row per component with class, pixel count, and
-bbox (the component geometry's envelope — full boundary tracing is the
-rasterio analogue's job; envelope + mass is what downstream grouping
-consumes). F1 (value filter) is the WHERE on label_class."""
+connected-components labelling (4-connectivity, min-label flooding) over
+the burned image; emits one row per component with class, pixel count,
+bbox, boundary perimeter and ring vertex count, and (with_rings=True) the
+traced boundary rings themselves — exterior + holes as pixel-corner vertex
+lists, the rasterio.features.shapes analogue. F1 (value filter) is the
+WHERE on label_class. All scalar outputs are pinned by a DuckDB value
+oracle (run-graph connected components + per-vertex corner counting)."""
 
 from __future__ import annotations
 
@@ -56,13 +58,123 @@ def connected_components(img: np.ndarray) -> tuple[np.ndarray, int]:
     return out, 0
 
 
-def polygonize_components(spark: SparkSession, sf_dir: str, label_value: int | None = None) -> DataFrame:
+def boundary_stats(mask: np.ndarray) -> tuple[int, int]:
+    """(perimeter, n_vertices) of the pixel-edge boundary of a 0/1 mask —
+    ALL rings (exterior + holes), vectorized:
+
+    - perimeter = exposed pixel-edge count = 4*n_px - 2*adjacent pairs.
+    - n_vertices = boundary direction changes, counted per pixel-grid
+      vertex from its 2x2 neighbourhood: an odd pixel count (1 or 3) is one
+      corner; a diagonal pair (both diagonals inside, others out, or vice
+      versa) is two corners (two rings touch at the vertex); everything
+      else is straight or interior.
+    """
+    m = mask.astype(bool)
+    n_px = int(m.sum())
+    h_adj = int((m[:, 1:] & m[:, :-1]).sum())
+    v_adj = int((m[1:] & m[:-1]).sum())
+    perimeter = 4 * n_px - 2 * (h_adj + v_adj)
+    p = np.pad(m, 1)
+    a, b = p[:-1, :-1], p[:-1, 1:]
+    c, d = p[1:, :-1], p[1:, 1:]
+    s = a.astype(np.int8) + b + c + d
+    diag = (s == 2) & (a == d) & (a != b)
+    n_vertices = int(((s == 1) | (s == 3)).sum()) + 2 * int(diag.sum())
+    return perimeter, n_vertices
+
+
+# directions: 0=right(+x) 1=down(+y) 2=left(-x) 3=up(-y); y grows downward
+_DIR = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}
+
+
+def trace_rings(mask: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Boundary rings of a 0/1 mask as pixel-corner vertex lists — the
+    rasterio.features.shapes analogue
+    (/root/reference/terrakit/transform/labels.py:167-196): exterior rings
+    clockwise-on-screen (y down), holes counter-clockwise, collinear points
+    collapsed, ring implicitly closed (first vertex not repeated).
+
+    Exposed edges are collected vectorized; stitching walks each loop with
+    a prefer-right-turn rule so rings that touch at a corner stay separate
+    loops (matching the 2x2 diagonal corner count)."""
+    m = mask.astype(bool)
+    h, w = m.shape
+    p = np.pad(m, 1)
+    edges: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+
+    def _add(ys, xs, d, start_off, end_off):
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            sx, sy = x + start_off[0], y + start_off[1]
+            ex, ey = x + end_off[0], y + end_off[1]
+            edges.setdefault((sx, sy), []).append((ex, ey, d))
+
+    # exposed edges, oriented so each pixel's own boundary is walked
+    # clockwise-on-screen: top ->right, right edge ->down, bottom ->left,
+    # left edge ->up
+    ys, xs = np.nonzero(m & ~p[:-2, 1:-1])  # top exposed
+    _add(ys, xs, 0, (0, 0), (1, 0))
+    ys, xs = np.nonzero(m & ~p[1:-1, 2:])  # right exposed
+    _add(ys, xs, 1, (1, 0), (1, 1))
+    ys, xs = np.nonzero(m & ~p[2:, 1:-1])  # bottom exposed
+    _add(ys, xs, 2, (1, 1), (0, 1))
+    ys, xs = np.nonzero(m & ~p[1:-1, :-2])  # left exposed
+    _add(ys, xs, 3, (0, 1), (0, 0))
+
+    rings: list[list[tuple[int, int]]] = []
+    while edges:
+        (sx, sy), outs = next(iter(edges.items()))
+        path = [(sx, sy)]
+        cx, cy, cd = outs[0]
+        _pop(edges, (sx, sy), 0)
+        dirs = [0]
+        dirs[0] = cdstart = cd
+        while (cx, cy) != (sx, sy):
+            path.append((cx, cy))
+            outs = edges[(cx, cy)]
+            if len(outs) == 1:
+                nx, ny, nd = outs[0]
+                _pop(edges, (cx, cy), 0)
+            else:
+                # prefer the rightmost turn relative to the incoming
+                # direction: keeps corner-touching loops separate
+                best = min(range(len(outs)), key=lambda i: (outs[i][2] - cd) % 4)
+                nx, ny, nd = outs[best]
+                _pop(edges, (cx, cy), best)
+            dirs.append(nd)
+            cx, cy, cd = nx, ny, nd
+        # collapse collinear: keep vertices where direction changes
+        ring = [pt for pt, d_in, d_out in zip(path, [dirs[-1]] + dirs[:-1], dirs) if d_in != d_out]
+        rings.append(ring if ring else path[:1])
+    return rings
+
+
+def _pop(edges: dict, key, idx: int) -> None:
+    outs = edges[key]
+    outs.pop(idx)
+    if not outs:
+        del edges[key]
+
+
+def polygonize_components(
+    spark: SparkSession, sf_dir: str, label_value: int | None = None, with_rings: bool = False
+) -> DataFrame:
     """Burn small scenes, then polygonize: one row per connected component
-    (scene_id, label_class, n_px, bbox in pixel coords)."""
+    (scene_id, label_class, n_px, pixel bbox, perimeter, ring vertex count;
+    with_rings=True adds the traced rings as array<array<array<int>>>)."""
     _register_views(spark, sf_dir)
     from terrakit_spark.operators.rasterize import scene_label_pairs
 
     pairs = scene_label_pairs(spark, SMALL_PRED_SQL)
+    base_cols = [
+        "scene_id", "component", "label_class", "n_px",
+        "px_xmin", "px_ymin", "px_xmax", "px_ymax", "perimeter", "n_vertices",
+    ]
+    schema = (
+        "scene_id long, component int, label_class int, n_px long, "
+        "px_xmin int, px_ymin int, px_xmax int, px_ymax int, perimeter long, n_vertices int"
+    )
+    if with_rings:
+        schema += ", rings array<array<array<int>>>"
 
     def poly_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("geom_seq")
@@ -78,16 +190,18 @@ def polygonize_components(spark: SparkSession, sf_dir: str, label_value: int | N
             m = comp == cid
             ys, xs = np.nonzero(m)
             cls = int(img[ys[0], xs[0]])
-            rows.append((key[0], cid, cls, int(m.sum()), int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())))
-        return pd.DataFrame(
-            rows,
-            columns=["scene_id", "component", "label_class", "n_px", "px_xmin", "px_ymin", "px_xmax", "px_ymax"],
-        )
+            perim, n_vert = boundary_stats(m)
+            row = [
+                key[0], cid, cls, int(m.sum()),
+                int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()), perim, n_vert,
+            ]
+            if with_rings:
+                row.append([[[int(x), int(y)] for x, y in ring] for ring in trace_rings(m)])
+            rows.append(tuple(row))
+        cols = base_cols + (["rings"] if with_rings else [])
+        return pd.DataFrame(rows, columns=cols)
 
-    out = pairs.groupBy("scene_id").applyInPandas(
-        poly_group,
-        schema="scene_id long, component int, label_class int, n_px long, px_xmin int, px_ymin int, px_xmax int, px_ymax int",
-    )
+    out = pairs.groupBy("scene_id").applyInPandas(poly_group, schema=schema)
     if label_value is not None:
         out = out.filter(F.col("label_class") == label_value)  # F1
     return out
@@ -97,6 +211,145 @@ def _polygonize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize_components(spark, sf_dir)
 
 
+def _polygonize_oracle() -> str:
+    """DuckDB value oracle for raster_polygonize (small scenes):
+
+    - pixel class = labelclass of the max-geom_seq covering diamond
+      (burn order: later shapes overwrite earlier);
+    - connected components over the RUN graph (per-row constant-value runs,
+      4-adjacent same-value runs merge) via recursive min-label closure —
+      runs keep the closure quadratic in runs-per-component, not pixels;
+    - component numbering = dense_rank of min pixel linear index, matching
+      connected_components' np.unique order;
+    - perimeter = 4*n_px - 2*(horizontal + vertical adjacent pairs);
+    - n_vertices via the same 2x2 grid-vertex corner formula as
+      boundary_stats (odd count = 1 corner, diagonal pair = 2).
+
+    rk/sym are MATERIALIZED: without the hint DuckDB re-evaluates the
+    recursive CTE's inputs (including the 65M-row pixel aggregation) on
+    every iteration -- 10+ minutes instead of ~18 s at sf0.01.
+    """
+    from terrakit_spark.synth import ALL_TABLES
+
+    synth = f"labels AS ({ALL_TABLES['labels'](DUCK)}), scenes AS ({ALL_TABLES['scenes'](DUCK)})"
+    return f"""
+WITH RECURSIVE {synth},
+sc AS (
+  SELECT scene_id, width, height, xmin, ymin, xmax, ymax
+  FROM scenes WHERE {SMALL_PRED_SQL}
+),
+prs AS (
+  SELECT s.scene_id, s.width, s.height, s.xmin, s.ymax,
+         l.geom_seq, l.labelclass, l.cx, l.cy, l.rx, l.ry
+  FROM sc s JOIN labels l
+    ON l.cx - l.rx <= s.xmax AND l.cx + l.rx >= s.xmin
+   AND l.cy - l.ry <= s.ymax AND l.cy + l.ry >= s.ymin
+),
+cand AS (
+  SELECT scene_id, width, xmin, ymax, labelclass, geom_seq, cx, cy, rx, ry, y,
+         unnest(generate_series(xlo, xhi)) AS x
+  FROM (
+    SELECT *,
+      greatest(CAST(floor((cx - rx - xmin) / 7.8125e-3 - 5.0e-1) AS BIGINT), 0) AS xlo,
+      least(CAST(ceil((cx + rx - xmin) / 7.8125e-3 - 5.0e-1) AS BIGINT), CAST(width AS BIGINT) - 1) AS xhi
+    FROM (
+      SELECT *, unnest(generate_series(ylo, yhi)) AS y FROM (
+        SELECT *,
+          greatest(CAST(floor((ymax - cy - ry) / 7.8125e-3 - 5.0e-1) AS BIGINT) + 1, 0) AS ylo,
+          least(CAST(ceil((ymax - cy + ry) / 7.8125e-3 - 5.0e-1) AS BIGINT) - 1, CAST(height AS BIGINT) - 1) AS yhi
+        FROM prs) _y
+      WHERE ylo <= yhi) _x
+  ) _c WHERE xlo <= xhi
+),
+px AS (
+  SELECT scene_id, width, y, x, arg_max(labelclass, geom_seq) AS val
+  FROM cand
+  WHERE abs((xmin + (x + 5.0e-1) * 7.8125e-3) - cx) / rx
+      + abs((ymax - (y + 5.0e-1) * 7.8125e-3) - cy) / ry < 1
+  GROUP BY scene_id, width, y, x
+),
+runs AS (
+  SELECT scene_id, width, val, y, min(x) AS xa, max(x) AS xb
+  FROM (SELECT *, x - row_number() OVER (PARTITION BY scene_id, y, val ORDER BY x) AS grp FROM px) _r
+  GROUP BY scene_id, width, val, y, grp
+),
+rk AS MATERIALIZED (SELECT *, y * width + xa AS k FROM runs),
+ed AS (
+  SELECT a.scene_id, a.k AS ka, b.k AS kb
+  FROM rk a JOIN rk b
+    ON b.scene_id = a.scene_id AND b.val = a.val AND b.y = a.y + 1
+   AND b.xa <= a.xb AND b.xb >= a.xa
+),
+sym AS MATERIALIZED (SELECT scene_id, ka, kb FROM ed UNION SELECT scene_id, kb, ka FROM ed),
+reach(scene_id, k, lbl) AS (
+  SELECT scene_id, k, k FROM rk
+  UNION
+  SELECT s.scene_id, s.kb, r.lbl FROM reach r JOIN sym s ON s.scene_id = r.scene_id AND s.ka = r.k
+),
+comp AS (SELECT scene_id, k, min(lbl) AS rep FROM reach GROUP BY scene_id, k),
+reps AS (
+  SELECT scene_id, rep,
+         dense_rank() OVER (PARTITION BY scene_id ORDER BY rep) AS component
+  FROM (SELECT DISTINCT scene_id, rep FROM comp) _d
+),
+rc AS (
+  SELECT r.scene_id, c.rep, r.val, r.y, r.xa, r.xb
+  FROM rk r JOIN comp c ON c.scene_id = r.scene_id AND c.k = r.k
+),
+aggs AS (
+  SELECT scene_id, rep, min(val) AS label_class,
+         sum(xb - xa + 1) AS n_px,
+         min(xa) AS px_xmin, min(y) AS px_ymin, max(xb) AS px_xmax, max(y) AS px_ymax,
+         sum(xb - xa) AS h_adj
+  FROM rc GROUP BY scene_id, rep
+),
+vadj AS (
+  SELECT a.scene_id, a.rep, sum(least(a.xb, b.xb) - greatest(a.xa, b.xa) + 1) AS v_adj
+  FROM rc a JOIN rc b
+    ON b.scene_id = a.scene_id AND b.rep = a.rep AND b.y = a.y + 1
+   AND b.xa <= a.xb AND b.xb >= a.xa
+  GROUP BY a.scene_id, a.rep
+),
+pxc AS (
+  SELECT r.scene_id, r.rep, p.y, p.x
+  FROM px p JOIN rc r
+    ON r.scene_id = p.scene_id AND r.y = p.y AND r.val = p.val
+   AND p.x >= r.xa AND p.x <= r.xb
+),
+vbits AS (
+  SELECT scene_id, rep, vx, vy, sum(bit) AS pattern, count(*) AS cnt
+  FROM (
+    SELECT scene_id, rep, x AS vx, y AS vy, 8 AS bit FROM pxc
+    UNION ALL SELECT scene_id, rep, x + 1, y, 4 FROM pxc
+    UNION ALL SELECT scene_id, rep, x, y + 1, 2 FROM pxc
+    UNION ALL SELECT scene_id, rep, x + 1, y + 1, 1 FROM pxc
+  ) _v GROUP BY scene_id, rep, vx, vy
+),
+verts AS (
+  SELECT scene_id, rep,
+         sum(CASE WHEN cnt = 1 OR cnt = 3 THEN 1
+                  WHEN cnt = 2 AND (pattern = 9 OR pattern = 6) THEN 2
+                  ELSE 0 END) AS n_vertices
+  FROM vbits GROUP BY scene_id, rep
+)
+SELECT a.scene_id,
+       CAST(r.component AS INT) AS component,
+       CAST(a.label_class AS INT) AS label_class,
+       CAST(a.n_px AS BIGINT) AS n_px,
+       CAST(a.px_xmin AS INT) AS px_xmin,
+       CAST(a.px_ymin AS INT) AS px_ymin,
+       CAST(a.px_xmax AS INT) AS px_xmax,
+       CAST(a.px_ymax AS INT) AS px_ymax,
+       CAST(4 * a.n_px - 2 * (a.h_adj + coalesce(v.v_adj, 0)) AS BIGINT) AS perimeter,
+       CAST(vt.n_vertices AS INT) AS n_vertices
+FROM aggs a
+JOIN reps r ON r.scene_id = a.scene_id AND r.rep = a.rep
+LEFT JOIN vadj v ON v.scene_id = a.scene_id AND v.rep = a.rep
+JOIN verts vt ON vt.scene_id = a.scene_id AND vt.rep = a.rep
+"""
+
+
+from terrakit_spark.dialect import DUCK  # noqa: E402
 from terrakit_spark.registry import register_df  # noqa: E402
 
-register_df("raster_polygonize", _polygonize_query)
+register_df("raster_polygonize", _polygonize_query, oracle=_polygonize_oracle())

@@ -85,50 +85,107 @@ register_sql("embedding_near_dup", _embedding_near_dup, tables=[])
 
 
 N_PLANES = 8
+L_TABLES = 3  # independent hash tables; candidates = union over tables
+MAX_BUCKET = 256  # deterministic per-(table, bucket) candidate cap
 
 
-def lsh_bucket_expr(qe_col: str) -> F.Column:
-    """Deterministic random-hyperplane LSH: plane p weight for dim i =
-    ((i+1)*(p+3)*2654435761 mod 1000003) - 501001 (zero-mean-ish ints);
-    bucket bit p = sign of <plane_p, v>. Pure column expressions."""
-    bits = []
-    for p in range(N_PLANES):
-        w = f"((CAST(i AS BIGINT) + 1) * {(p + 3) * 2654435761 % 4294967291}) % 1000003 - 501001"
+def _lsh_body(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
+    """Multi-table random-hyperplane LSH ANN, fully SQL (dual-dialect, so
+    the DuckDB oracle replicates bucket assignment, capping, and ranking
+    exactly — the op is approximate vs brute force but DETERMINISTIC).
+
+    Scale design (the round-1 single-table 256-bucket ceiling fix):
+    - L_TABLES independent 8-plane tables; a query's candidates are the
+      UNION of its buckets across tables (multiplies recall, keeps each
+      bucket join an equi-join on (t, bucket)).
+    - per-(table, bucket) candidate cap: row_number over a deterministic
+      hash keeps at most max_bucket candidates per bucket, so the
+      within-bucket join is O(max_bucket) per query whatever the corpus
+      size — hot buckets degrade recall, never blow up the shuffle. At
+      10^12 vectors raise L_TABLES/planes; the plan shape is unchanged.
+    Plane p of table t has weight for dim i:
+    ((i+1) * ((t*8+p+3)*2654435761 mod 4294967291)) mod 1000003 - 501001.
+    """
+    d = D(dialect)
+    quant = _quant(d, "embedding")
+    planes = ", ".join(
+        f"({t}, {p}, {((t * N_PLANES + p + 3) * 2654435761) % 4294967291})"
+        for t in range(L_TABLES)
+        for p in range(N_PLANES)
+    )
+    if dialect == SPARK:
         proj = (
-            f"aggregate(zip_with({qe_col}, sequence(0, size({qe_col}) - 1), "
-            f"(x, i) -> x * ({w})), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            "aggregate(zip_with(qe, sequence(1, size(qe)), "
+            "(x, i) -> x * ((CAST(i AS BIGINT) * mult) % 1000003 - 501001)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
-    return F.expr(" + ".join(bits))
+    else:
+        proj = (
+            "CAST(list_sum(list_transform(generate_series(1, len(qe)), "
+            "i -> qe[i] * ((CAST(i AS BIGINT) * mult) % 1000003 - 501001))) AS BIGINT)"
+        )
+    bit = d.shiftleft("CAST(1 AS BIGINT)", "p")
+    return f"""
+WITH nn AS (
+  SELECT vec_id, qe, norm2 FROM (
+    SELECT vec_id, qe, {_dot(d, 'qe', 'qe')} AS norm2
+    FROM (SELECT vec_id, {quant} AS qe FROM embeddings) _e
+  ) _n WHERE norm2 > 0
+),
+planes AS (SELECT * FROM (VALUES {planes}) AS _pl(t, p, mult)),
+proj AS (
+  SELECT v.vec_id, pl.t, pl.p, {proj} AS proj
+  FROM nn v CROSS JOIN planes pl
+),
+bks AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN proj > 0 THEN {bit} ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+capped AS (
+  SELECT vec_id, t, bucket FROM (
+    SELECT vec_id, t, bucket,
+           row_number() OVER (PARTITION BY t, bucket
+                              ORDER BY (vec_id * 40503) % 65521, vec_id) AS rn
+    FROM bks) _c WHERE rn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+  FROM (SELECT * FROM bks WHERE {QUERY_PRED}) q
+  JOIN capped c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+)
+SELECT qid, rank, vec_id, cos_sim FROM (
+  SELECT cand.qid, cand.vid AS vec_id,
+         CAST({_dot(d, 'q.qe', 'c.qe')} AS DOUBLE)
+           / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY cand.qid
+           ORDER BY CAST({_dot(d, 'q.qe', 'c.qe')} AS DOUBLE)
+                    / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) DESC,
+                    cand.vid ASC
+         ) AS rank
+  FROM cand
+  JOIN nn q ON q.vec_id = cand.qid
+  JOIN nn c ON c.vec_id = cand.vid
+) _r WHERE rank <= {TOPK}
+"""
 
 
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: score only candidates sharing the query's LSH
-    bucket. Returns (qid, rank, vec_id, cos_sim) like the brute-force op."""
+def _ann_lsh(dialect: str) -> str:
+    return _lsh_body(dialect)
+
+
+register_sql("ann_lsh_bucketed", _ann_lsh, tables=[])
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, t, bucket) assignments — test/introspection helper."""
     ensure_base_views(spark, sf_dir)
-    emb = spark.table("embeddings").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qe"
-    )
-    emb = emb.withColumn("norm2", F.expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-    emb = emb.withColumn("bucket", lsh_bucket_expr("qe")).filter("norm2 > 0")
-    q = emb.filter(QUERY_PRED).select(
-        F.col("vec_id").alias("qid"), F.col("qe").alias("q_qe"), F.col("norm2").alias("q_norm2"), "bucket"
-    )
-    cand = emb.select(F.col("vec_id"), F.col("qe").alias("c_qe"), F.col("norm2").alias("c_norm2"), "bucket")
-    joined = q.join(cand, "bucket").filter(F.col("vec_id") != F.col("qid"))
-    scored = joined.withColumn(
-        "cos_sim",
-        F.expr(
-            "CAST(aggregate(zip_with(q_qe, c_qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-            " / sqrt(CAST(q_norm2 AS DOUBLE) * CAST(c_norm2 AS DOUBLE))"
-        ),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK).select(
-        "qid", "rank", "vec_id", "cos_sim"
-    )
+    body = _lsh_body(SPARK)
+    prefix = body.split("capped AS")[0].rstrip().rstrip(",")
+    return spark.sql(prefix + "\nSELECT vec_id, t, bucket FROM bks")
 
 
-register_df("ann_lsh_bucketed", ann_lsh_bucketed)
+def ann_lsh_capped(spark: SparkSession, sf_dir: str, max_bucket: int) -> DataFrame:
+    """The same operator with an explicit bucket cap (test helper)."""
+    ensure_base_views(spark, sf_dir)
+    return spark.sql(_lsh_body(SPARK, max_bucket=max_bucket))

@@ -2,42 +2,65 @@
 embeddings are uniformly random (no cluster structure — measured same-label
 vs cross-label cosine are both ~0), which is the theoretical worst case for
 LSH: with 8 hyperplanes a true neighbour (cos ~0.33, theta ~70deg) collides
-with probability (1 - theta/pi)^8 ~ 2%. The meaningful check is therefore
-LIFT: recall must be several times the fraction of candidates scored —
-i.e. the buckets concentrate true neighbours, not that absolute recall is
-high on structureless data."""
+with probability (1 - theta/pi)^8 ~ 2% per table. The meaningful checks are
+therefore LIFT — recall must beat the fraction of candidates scored, i.e.
+buckets concentrate true neighbours above chance — and BOUNDEDNESS: the
+per-(table, bucket) candidate cap must hold by construction."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import terrakit_spark.operators  # noqa: F401
-from terrakit_spark.registry import QUERIES, ensure_base_views
+from terrakit_spark.registry import QUERIES
+
+
+def _lift(spark, sf_dir):
+    from terrakit_spark.operators.similarity import QUERY_PRED, lsh_buckets
+
+    exact = QUERIES["ann_topk_quantized"](spark, sf_dir).select("qid", "vec_id").cache()
+    approx = QUERIES["ann_lsh_bucketed"](spark, sf_dir).select("qid", "vec_id").cache()
+    n_exact = exact.count()
+    hits = exact.join(approx, ["qid", "vec_id"], "inner").count()
+    recall = hits / n_exact
+
+    # candidate fraction scored: distinct union-over-tables bucket pairs
+    bks = lsh_buckets(spark, sf_dir).cache()
+    n_vecs = bks.select("vec_id").distinct().count()
+    q = bks.filter(QUERY_PRED).withColumnRenamed("vec_id", "qid")
+    pairs = (
+        q.join(bks, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    n_queries = q.select("qid").distinct().count()
+    candidate_fraction = pairs.count() / (n_queries * (n_vecs - 1))
+    return recall, candidate_fraction
 
 
 def test_lsh_lift_against_bruteforce(synth, spark, sf_dir):
-    exact = QUERIES["ann_topk_quantized"](spark, sf_dir).select("qid", "vec_id").cache()
-    approx = QUERIES["ann_lsh_bucketed"](spark, sf_dir).select("qid", "vec_id", "cos_sim").cache()
-    n_exact = exact.count()
-    hits = exact.join(approx.select("qid", "vec_id"), ["qid", "vec_id"], "inner").count()
-    recall = hits / n_exact
+    recall, fraction = _lift(spark, sf_dir)
+    # isotropic random embeddings are LSH's theoretical worst case; the
+    # invariant is lift > 1 with margin — multi-table union raises both
+    # recall and fraction together, lift stays the concentration signal
+    assert recall > 1.25 * fraction, f"recall={recall:.4f} fraction={fraction:.4f}"
 
-    # candidate fraction actually scored by the bucketed variant
-    ensure_base_views(spark, sf_dir)
-    n_vecs = spark.table("embeddings").count()
-    n_queries = exact.select("qid").distinct().count()
-    from terrakit_spark.operators.similarity import QUERY_PRED, lsh_bucket_expr
-    from pyspark.sql import functions as F
 
-    emb = spark.table("embeddings").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qe"
-    ).withColumn("bucket", lsh_bucket_expr("qe"))
-    bucket_sizes = emb.groupBy("bucket").count()
-    q_buckets = emb.filter(QUERY_PRED).select("bucket")
-    scored = q_buckets.join(bucket_sizes, "bucket").agg(F.sum("count")).collect()[0][0]
-    candidate_fraction = scored / (n_queries * n_vecs)
+def test_lsh_bucket_cap_binds(synth, spark, sf_dir):
+    """With a tiny cap the candidate side is bounded per (table, bucket) —
+    the scale guarantee that hot buckets cannot blow up the join."""
+    from terrakit_spark.operators.similarity import ann_lsh_capped, lsh_buckets
 
-    # isotropic random embeddings are LSH's theoretical worst case and the
-    # lift shrinks as N grows (nearest-neighbour angles widen the bucket
-    # miss rate); the invariant is lift > 1 — buckets concentrate true
-    # neighbours above chance — with margin at small N (measured ~5x at
-    # sf0.001, ~1.4x at sf0.01)
-    assert recall > 1.25 * candidate_fraction, f"recall={recall:.4f} fraction={candidate_fraction:.4f}"
+    cap = 2
+    out = ann_lsh_capped(spark, sf_dir, max_bucket=cap)
+    # every query's candidate set is <= L_TABLES * cap (union of its
+    # per-table capped buckets, minus itself)
+    from terrakit_spark.operators.similarity import L_TABLES
+
+    per_q = out.groupBy("qid").count().agg(F.max("count")).collect()[0][0]
+    assert per_q is not None and per_q <= L_TABLES * cap
+
+    # and some bucket actually exceeded the cap (the cap BINDS here)
+    biggest = lsh_buckets(spark, sf_dir).groupBy("t", "bucket").count().agg(F.max("count")).collect()[0][0]
+    assert biggest > cap

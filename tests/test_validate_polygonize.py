@@ -86,3 +86,53 @@ def test_pipeline_impute_transform(synth, spark, sf_dir):
     row = chips.select("data", "bands", "chip_w", "chip_h").first()
     cube = np.frombuffer(row.data, dtype=np.float32)
     assert not (cube == -9999.0).any()
+
+
+def _shoelace2(ring):
+    s = 0
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def test_ring_tracing_invariants_random_masks():
+    """trace_rings must agree with the vectorized boundary_stats on any
+    mask: total vertices, total edge length, and net signed area == n_px
+    (exterior rings minus holes)."""
+    import numpy as np
+
+    from terrakit_spark.operators.polygonize import boundary_stats, connected_components, trace_rings
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        h, w = rng.randint(1, 12), rng.randint(1, 12)
+        img = (rng.rand(h, w) < 0.55).astype(np.int32)
+        comp, n = connected_components(img)
+        for cid in range(1, n + 1):
+            m = comp == cid
+            perim, nv = boundary_stats(m)
+            rings = trace_rings(m)
+            assert sum(len(r) for r in rings) == nv
+            assert abs(sum(_shoelace2(r) for r in rings)) == 2 * int(m.sum())
+            tot = 0
+            for r in rings:
+                for i in range(len(r)):
+                    x1, y1 = r[i]
+                    x2, y2 = r[(i + 1) % len(r)]
+                    tot += abs(x1 - x2) + abs(y1 - y2)
+            assert tot == perim
+
+
+def test_polygonize_rings_on_synth(synth, spark, sf_dir):
+    """Rings emitted by the distributed op satisfy the same invariants
+    row-by-row (vertex count column == sum of ring lengths, net area ==
+    n_px)."""
+    from terrakit_spark.operators.polygonize import polygonize_components
+
+    df = polygonize_components(spark, sf_dir, with_rings=True)
+    for row in df.collect():
+        rings = [[(v[0], v[1]) for v in ring] for ring in row.rings]
+        assert sum(len(r) for r in rings) == row.n_vertices
+        assert abs(sum(_shoelace2(r) for r in rings)) == 2 * row.n_px
