@@ -111,12 +111,19 @@ def stage_chip(
     return {"chips_rows": snap.n_rows, "resumed": False}
 
 
-def stage_store(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
-    """store stage: package chips with deterministic splits (store/taco.py)."""
+def stage_store(spark: SparkSession, sf_dir: str, working_dir: str, write_tifs: bool = False) -> dict:
+    """store stage: package chips with deterministic splits (store/taco.py);
+    write_tifs additionally materializes every chip as a georeferenced
+    .data.tif/.label.tif pair (K2/K3, geodata_utils.py:447-538)."""
     table = _table(working_dir, "chips")
     chips = table.read(spark)
     if chips is None:
         raise SystemExit("chip stage has not run")
+    if write_tifs:
+        from terrakit_spark.sinks.geotiff import chips_with_geo, write_chip_tifs
+
+        _register_views(spark, sf_dir)
+        write_chip_tifs(chips_with_geo(chips, spark.table("scenes")), os.path.join(working_dir, "tifs"))
     from terrakit_spark.operators.split import KNUTH
 
     key = F.col("scene_id") * 1000 + F.col("win_index")
@@ -142,17 +149,46 @@ STAGES = {
 }
 
 
+def _load_config(path: str) -> dict:
+    """--config file (YAML or JSON), the reference's jsonargparse-style
+    entry point (/root/reference/terrakit/__main__.py:54): keys are the
+    long flag names (dashes or underscores); explicit CLI flags override."""
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml  # type: ignore
+
+        cfg = yaml.safe_load(text)
+    except ImportError:
+        cfg = json.loads(text)
+    if not isinstance(cfg, dict):
+        raise SystemExit(f"terrakit_spark: config {path} must be a mapping")
+    return {str(k).replace("-", "_"): v for k, v in cfg.items()}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="terrakit_spark")
     p.add_argument("stage", choices=[*STAGES, "pipeline"])
+    p.add_argument("--config", default=None, help="YAML/JSON file of flag defaults")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    p.add_argument("--working-dir", required=True)
+    p.add_argument("--working-dir", default=None)
     p.add_argument("--scene-pred", default=DEFAULT_PRED)
     p.add_argument("--transforms", default="")
     p.add_argument("--date-start", default="2024-01-01")
     p.add_argument("--date-end", default="2024-12-31")
+    p.add_argument("--write-tifs", action="store_true")
     p.add_argument("--master", default=None)
+    pre, _ = p.parse_known_args(argv)
+    if pre.config:
+        cfg = _load_config(pre.config)
+        known = {a.dest for a in p._actions}
+        unknown = set(cfg) - known
+        if unknown:
+            raise SystemExit(f"terrakit_spark: unknown config keys: {sorted(unknown)}")
+        p.set_defaults(**cfg)
     args = p.parse_args(argv)
+    if not args.working_dir:
+        raise SystemExit("terrakit_spark: --working-dir is required (flag or config)")
 
     from terrakit_spark.validate import ValidationError
 
@@ -167,6 +203,8 @@ def main(argv: list[str] | None = None) -> None:
     def run(stage: str) -> dict:
         if stage == "chip":
             return stage_chip(spark, args.sf_dir, args.working_dir, args.scene_pred, transforms)
+        if stage == "store":
+            return stage_store(spark, args.sf_dir, args.working_dir, write_tifs=args.write_tifs)
         return STAGES[stage](spark, args.sf_dir, args.working_dir)
 
     stages = [*STAGES] if args.stage == "pipeline" else [args.stage]

@@ -280,3 +280,78 @@ GROUP BY s.scene_date_str
 )
 
 register_df("chip_pipeline_full", chip_pipeline_full, oracle=_FULL_ORACLE)
+
+
+def pipeline_skip_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F13 zero-scene guard path through the full pipeline: synthetic
+    pixels are never all-zero (values >= 500 or nodata), so the guard drops
+    nothing and the output equals pipeline_summary_small — which is exactly
+    what the oracle pins (the guard's any() evaluates for every scene).
+    The actually-dropping behaviour is pinned by test_zero_scene_guard."""
+    from terrakit_spark.pipeline import chip_pipeline  # lazy: avoids import cycle
+
+    chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL, skip_zero_scenes=True)
+    return _summary(chips)
+
+
+def dataset_stats_quirk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 quirk variant as a driver-checked query: pixel_count = n_tiles *
+    H*W of the LAST chip (max scene_id, max win_index) and a scalar
+    mean/std collapse across bands
+    (/root/reference/terrakit/chip/tiling.py:353-362)."""
+    from terrakit_spark.pipeline import chip_pipeline, dataset_stats_quirk
+
+    chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL)
+    out = dataset_stats_quirk(chips)
+    return out.select(
+        F.round("total_mean", 6).alias("total_mean"),
+        F.round("total_std", 6).alias("total_std"),
+    )
+
+
+# quirk oracle: per-pixel value enumeration over the matched small scenes
+# (exact integer sums / sums-of-squares), pixel_count from the max-scene_id
+# chip dims, identical double division + sqrt expressions.
+_QUIRK_ORACLE = with_synth(
+    DUCK,
+    f"""
+WITH matched_dates AS (
+  SELECT DISTINCT scene_date_str FROM (
+    SELECT b.datetime,
+           strftime(s.scene_date, '%Y-%m-%d') AS scene_date_str,
+           row_number() OVER (PARTITION BY b.datetime
+                              ORDER BY abs(datediff('day', b.dt, s.scene_date)) ASC, s.scene_date ASC) AS rn
+    FROM (SELECT DISTINCT datetime, CAST(datetime AS DATE) AS dt FROM labels) b
+    JOIN (SELECT DISTINCT scene_date FROM scenes) s
+      ON s.scene_date >= b.dt AND s.scene_date <= (b.dt + CAST(7 AS INT))
+  ) r WHERE rn = 1
+),
+small AS (
+  SELECT * FROM scenes WHERE ({SMALL_PRED_SQL})
+    AND scene_date_str IN (SELECT scene_date_str FROM matched_dates)
+),
+pxv AS (
+  SELECT CAST(CASE WHEN (scene_id + band + y * width + x) % {NODATA_EVERY} = 0 THEN -9999
+              ELSE (scene_id * 7 + band * 13 + y * 31 + x * 17) % {PIXEL_MOD} + {PIXEL_BASE} END AS BIGINT) AS v
+  FROM (
+    SELECT scene_id, width, band, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
+    FROM (SELECT scene_id, width, band, unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
+          FROM (SELECT scene_id, width, height, unnest(generate_series(0, CAST(bands - 1 AS BIGINT))) AS band
+                FROM small) _sb) _sy
+  ) _px
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS sum_x, CAST(sum(v * v) AS BIGINT) AS sum_x2 FROM pxv),
+pc AS (
+  SELECT CAST((SELECT count(*) FROM small) * width * height AS BIGINT) AS pixel_count
+  FROM small ORDER BY scene_id DESC LIMIT 1
+)
+SELECT round(CAST(sum_x AS DOUBLE) / pixel_count, 6) AS total_mean,
+       round(sqrt(CAST(sum_x2 AS DOUBLE) / pixel_count
+                  - (CAST(sum_x AS DOUBLE) / pixel_count) * (CAST(sum_x AS DOUBLE) / pixel_count)), 6) AS total_std
+FROM tot, pc
+""",
+    tables=["labels", "scenes"],
+)
+
+register_df("pipeline_skip_zero", pipeline_skip_zero, oracle=_ORACLE)
+register_df("dataset_stats_quirk", dataset_stats_quirk_query, oracle=_QUIRK_ORACLE)

@@ -76,12 +76,24 @@ def _diamond_polys(spark: SparkSession) -> DataFrame:
     )
 
 
-_MATERIALIZED: set[int] = set()
+_MATERIALIZED: set[str] = set()
+
+# Partition layout for the stored tables: (date column, lon column).
+# Each partitioned table gets derived p_date + p_cx (30-degree lon band)
+# partition keys alongside the unchanged data columns, so date-range and
+# spatial-band predicates prune at the FILE level (Iceberg-style partition
+# pruning on plain parquet; SURVEY §4). ~60 dates x 12 bands keeps the
+# partition count bounded at any scale factor.
+_PARTITION_SPEC: dict[str, tuple[str, str]] = {
+    "scenes": ("scene_date_str", "xmin"),
+    "labels": ("datetime", "cx"),
+    "media": ("media_date_str", "mx"),
+}
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     ensure_base_views(spark, sf_dir)
-    if id(spark) in _MATERIALIZED:
+    if spark.sparkContext.applicationId in _MATERIALIZED:
         return  # synth views already point at materialized parquet
     for name, fn in ALL_TABLES.items():
         spark.sql(fn(SPARK)).createOrReplaceTempView(name)
@@ -90,15 +102,24 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
 def materialize_synth(spark: SparkSession, sf_dir: str, work_dir: str) -> None:
     """Write the derived synthetic tables to parquet once and re-point the
     views at them — the bench measures the engine against stored tables
-    (as a real deployment reads Iceberg), not the on-the-fly derivation."""
+    (as a real deployment reads Iceberg), not the on-the-fly derivation.
+    Tables in _PARTITION_SPEC are written partitionBy(p_date, p_cx)."""
     import os
 
     ensure_base_views(spark, sf_dir)
     for name, fn in ALL_TABLES.items():
         path = os.path.join(work_dir, name)
-        spark.sql(fn(SPARK)).write.mode("overwrite").parquet(path)
+        df = spark.sql(fn(SPARK))
+        if name in _PARTITION_SPEC:
+            date_col, lon_col = _PARTITION_SPEC[name]
+            df = df.withColumn("p_date", F.col(date_col)).withColumn(
+                "p_cx", F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(30.0)).cast("int")
+            )
+            df.write.mode("overwrite").partitionBy("p_date", "p_cx").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
-    _MATERIALIZED.add(id(spark))
+    _MATERIALIZED.add(spark.sparkContext.applicationId)
 
 
 def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,3 +38,37 @@ def test_cli_stages_end_to_end(synth, spark, sf_dir, tmp_path):
     assert [r.step for r in lin] == ["chip"]
     labels_lin = SnapshotTable(os.path.join(wd, "labels")).lineage_df(spark).collect()
     assert labels_lin[0].n_rows == r1["labels_rows"]
+
+
+def test_cli_config_file_and_tifs(spark, sf_dir, tmp_path):
+    """--config (YAML) supplies defaults, CLI flags override; --write-tifs
+    materializes georeferenced chips at store time."""
+    import glob
+    import json as _json
+
+    from terrakit_spark.cli import main
+
+    wd = str(tmp_path / "wd")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"working-dir: {wd}\nsf-dir: {sf_dir}\n"
+        'scene-pred: "(scene_id % 25) = 20"\nwrite-tifs: true\n'
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["pipeline", "--config", str(cfg)])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["store"]["dataset_rows"] > 0
+    tifs = glob.glob(f"{wd}/tifs/*.data.tif")
+    assert tifs and len(glob.glob(f"{wd}/tifs/*.label.tif")) == len(tifs)
+
+    # unknown config keys are rejected, not silently ignored
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("workin-dir: /tmp/x\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unknown config keys"):
+        main(["labels", "--config", str(bad)])
