@@ -92,3 +92,54 @@ register_sql("labels_load", _labels_load, tables=["labels"])
 register_sql("grouped_bbox", _grouped_bbox, tables=["labels"])
 register_sql("label_tally", _label_tally, tables=["labels"])
 register_sql("metadata_lookup", _metadata_lookup, tables=["labels"])
+
+
+def _wkb_roundtrip(spark, sf_dir):
+    """S4 — WKB geometry exchange: diamond polygons serialized to OGC WKB
+    (the shapefile contract's geometry column,
+    /root/reference/terrakit/download/download_data.py:185-217) and parsed
+    back; output is the decoded geometry's vertex count + envelope, which
+    the oracle computes in closed form — any byte-level encode/decode
+    defect breaks the roundtrip equality."""
+    from pyspark.sql import functions as F
+
+    from terrakit_spark.functions.wkb import wkb_decode_polygon, wkb_encode_polygon
+    from terrakit_spark.operators.spatial_join import _register_views
+
+    _register_views(spark, sf_dir)
+    polys = spark.sql(
+        "SELECT label_id, array(cx - rx, cy, cx, cy - ry, cx + rx, cy, cx, cy + ry) AS verts FROM labels"
+    )
+    dec = polys.select("label_id", wkb_decode_polygon(wkb_encode_polygon("verts")).alias("d"))
+    return dec.select(
+        "label_id",
+        (F.size("d") / 2).cast("int").alias("n_pts"),
+        F.round(F.array_min(F.expr("filter(d, (x, i) -> i % 2 = 0)")), 6).alias("env_xmin"),
+        F.round(F.array_max(F.expr("filter(d, (x, i) -> i % 2 = 0)")), 6).alias("env_xmax"),
+        F.round(F.array_min(F.expr("filter(d, (x, i) -> i % 2 = 1)")), 6).alias("env_ymin"),
+        F.round(F.array_max(F.expr("filter(d, (x, i) -> i % 2 = 1)")), 6).alias("env_ymax"),
+    )
+
+
+def _wkb_oracle() -> str:
+    from terrakit_spark.dialect import DUCK
+    from terrakit_spark.registry import with_synth
+
+    return with_synth(
+        DUCK,
+        """
+SELECT label_id,
+       CAST(4 AS INT) AS n_pts,
+       round(cx - rx, 6) AS env_xmin,
+       round(cx + rx, 6) AS env_xmax,
+       round(cy - ry, 6) AS env_ymin,
+       round(cy + ry, 6) AS env_ymax
+FROM labels
+""",
+        tables=["labels"],
+    )
+
+
+from terrakit_spark.registry import register_df  # noqa: E402
+
+register_df("wkb_roundtrip", _wkb_roundtrip, oracle=_wkb_oracle())
