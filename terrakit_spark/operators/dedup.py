@@ -246,8 +246,88 @@ FROM reach GROUP BY doc_id
 """
 
 
+SIMHASH_BITS = 60
+SIM_BANDS = 4  # 4 bands x 15 bits; Hamming distance <= SIM_BANDS-1 pairs
+HAM_MAX = 3  # must share at least one band (pigeonhole)
+
+
+def _simhash60_cte(d: D) -> str:
+    """Per-doc 60-bit SimHash. Token hash = two independent rolling hashes
+    (multipliers 31 and 131) packed as 30 bits each — 60 well-mixed bits,
+    kept under 2^63 so shifts stay in positive BIGINT range in both
+    dialects."""
+    toks = d.split_ws("text")
+    if d.d == SPARK:
+        tok_rows = f"SELECT doc_id, explode({toks}) AS tok FROM docs_aug"
+        bit_rows = f"SELECT doc_id, h, explode(sequence(0, {SIMHASH_BITS - 1})) AS b FROM tokh"
+    else:
+        tok_rows = f"SELECT doc_id, unnest({toks}) AS tok FROM docs_aug"
+        bit_rows = f"SELECT doc_id, h, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b FROM tokh"
+    h1 = _roll(d, "tok", 31, 1073741789)
+    h2 = _roll(d, "tok", 131, 1073741789)
+    bit = f"({d.shiftright('h', 'b')} % 2)"
+    return f"""
+tokh AS (SELECT doc_id, {d.shiftleft(f'({h1})', '30')} + ({h2}) AS h FROM ({tok_rows}) _t),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s
+  FROM ({bit_rows}) _b GROUP BY doc_id, b
+),
+sh60 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN {d.shiftleft('CAST(1 AS BIGINT)', 'b')} ELSE 0 END) AS BIGINT) AS sim
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def _roll(d: D, s: str, mult: int, mod: int) -> str:
+    if d.d == SPARK:
+        return (
+            f"aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+            f"(acc, c) -> (acc * {mult} + CAST(ascii(c) AS BIGINT)) % {mod})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {mult} + c) % {mod})"
+    )
+
+
+def _simhash_near_dup(dialect: str) -> str:
+    """SimHash Hamming-neighbour join: candidates via 15-bit band blocking
+    (any pair with Hamming distance <= 3 over 4 bands must agree on at
+    least one full band), verified with an exact popcount of the XOR.
+
+    Scale shape: the self-join keys on (band index, 15-bit band value) —
+    2^15 values per band keeps buckets ~n/32768, so candidate volume grows
+    linearly; a 16-bit simhash banded 4x4 bits would be quadratic (16
+    values per band). bit_count/xor are single codegen'd instructions."""
+    d = D(dialect)
+    band_bits = SIMHASH_BITS // SIM_BANDS
+    if dialect == SPARK:
+        bexpr = f"SELECT doc_id, sim, explode(sequence(0, {SIM_BANDS - 1})) AS band FROM sh60"
+    else:
+        bexpr = f"SELECT doc_id, sim, unnest(generate_series(0, {SIM_BANDS - 1})) AS band FROM sh60"
+    bval = f"({d.shiftright('sim', f'band * {band_bits}')} % {1 << band_bits})"
+    ham = f"bit_count({d.bitxor('s1.sim', 's2.sim')})"
+    return f"""
+WITH {_simhash60_cte(d)},
+bands AS (SELECT doc_id, sim, band, {bval} AS bval FROM ({bexpr}) _e),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bval = b2.bval AND b1.doc_id < b2.doc_id
+)
+SELECT c.d1, c.d2, CAST({ham} AS INT) AS hamming
+FROM cand c
+JOIN sh60 s1 ON s1.doc_id = c.d1
+JOIN sh60 s2 ON s2.doc_id = c.d2
+WHERE {ham} <= {HAM_MAX}
+"""
+
+
 register_sql("dedup_exact", _dedup_exact, tables=["docs_aug"])
 register_sql("minhash_lsh_pairs", _minhash_lsh, tables=["docs_aug"])
 register_sql("ngram_jaccard_pairs", _ngram_jaccard, tables=["docs_aug"])
 register_sql("simhash_table", _simhash, tables=["docs_aug"])
+register_sql("simhash_near_dup", _simhash_near_dup, tables=["docs_aug"])
 register_df("dedup_clusters", dedup_clusters, oracle=_dedup_clusters_oracle())

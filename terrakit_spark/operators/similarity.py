@@ -177,6 +177,72 @@ def _ann_lsh(dialect: str) -> str:
 register_sql("ann_lsh_bucketed", _ann_lsh, tables=[])
 
 
+IVF_CENT_MOD = 29  # deterministic coarse quantizer: every 29th vector
+IVF_NPROBE = 3
+
+
+def _ann_ivf(dialect: str) -> str:
+    """IVF ANN (the second scale path next to LSH): a fixed coarse
+    quantizer — every IVF_CENT_MOD-th vector acts as a centroid (at 10^12
+    scale: a k-means codebook of fixed size, same plan shape) — assigns
+    every vector to its nearest centroid by exact integer-quantized cosine;
+    a query probes its IVF_NPROBE nearest centroids and scores only their
+    inverted lists. Everything is deterministic, so the DuckDB oracle
+    replicates assignment, probing, and ranking exactly.
+
+    Scale shape: assignment is one broadcast join against the fixed
+    codebook (linear); the probe join keys on centroid id (equi-join,
+    inverted lists ~ n/C rows each, AQE skew-splits hot lists)."""
+    d = D(dialect)
+    quant = _quant(d, "embedding")
+    cos = (
+        f"CAST({_dot(d, 'v.qe', 'c.qe')} AS DOUBLE)"
+        f" / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE))"
+    )
+    qcos = (
+        f"CAST({_dot(d, 'q.qe', 'c.qe')} AS DOUBLE)"
+        f" / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE))"
+    )
+    scos = (
+        f"CAST({_dot(d, 'q.qe', 'v.qe')} AS DOUBLE)"
+        f" / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(v.norm2 AS DOUBLE))"
+    )
+    return f"""
+WITH nn AS (
+  SELECT vec_id, qe, norm2 FROM (
+    SELECT vec_id, qe, {_dot(d, 'qe', 'qe')} AS norm2
+    FROM (SELECT vec_id, {quant} AS qe FROM embeddings) _e
+  ) _n WHERE norm2 > 0
+),
+cent AS (SELECT vec_id AS cent_id, qe, norm2 FROM nn WHERE vec_id % {IVF_CENT_MOD} = 0),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cent_id ASC) AS rn
+    FROM nn v CROSS JOIN cent c
+  ) _a WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cent_id FROM (
+    SELECT q.vec_id AS qid, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qcos} DESC, c.cent_id ASC) AS rn
+    FROM (SELECT * FROM nn WHERE {QUERY_PRED}) q CROSS JOIN cent c
+  ) _p WHERE rn <= {IVF_NPROBE}
+)
+SELECT qid, rank, vec_id, cos_sim FROM (
+  SELECT p.qid, v.vec_id, {scos} AS cos_sim,
+         row_number() OVER (PARTITION BY p.qid ORDER BY {scos} DESC, v.vec_id ASC) AS rank
+  FROM probes p
+  JOIN assigned a ON a.cent_id = p.cent_id
+  JOIN nn v ON v.vec_id = a.vec_id AND v.vec_id <> p.qid
+  JOIN nn q ON q.vec_id = p.qid
+) _r WHERE rank <= {TOPK}
+"""
+
+
+register_sql("ann_ivf", _ann_ivf, tables=[])
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, t, bucket) assignments — test/introspection helper."""
     ensure_base_views(spark, sf_dir)
