@@ -114,6 +114,22 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*dirs)
 
+    def remove_orphans(self) -> list[str]:
+        """Iceberg-maintenance analogue (remove_orphan_files): delete data
+        dirs no manifest references — the leftovers of crashed writers.
+        Safe by construction: the commit point is the manifest rename, so
+        an unreferenced dir can never be (or become) visible."""
+        import shutil
+
+        referenced = {os.path.basename(s.data_dir) for s in self.snapshots()}
+        removed = []
+        ddir = os.path.join(self.root, "data")
+        for name in sorted(os.listdir(ddir)):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(ddir, name))
+                removed.append(name)
+        return removed
+
     def committed_partitions(self) -> set[str]:
         keys: set[str] = set()
         for s in self.snapshots():

@@ -50,6 +50,18 @@ def test_crashed_commit_is_retryable(spark, tmp_path):
     assert t.read(spark).count() == 12  # orphan still invisible
 
 
+def test_remove_orphans(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(5).withColumn("p", F.lit("a")), step="s", partition_col="p")
+    orphan = os.path.join(str(tmp_path / "tbl"), "data", "snap=1-deadbeef")
+    spark.range(100).write.parquet(orphan)
+    removed = t.remove_orphans()
+    assert removed == ["snap=1-deadbeef"]
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 5  # committed data untouched
+    assert t.remove_orphans() == []  # idempotent
+
+
 def test_resume_skips_committed_partitions(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "tbl"))
     inp = spark.range(100).withColumn("p", (F.col("id") % 4).cast("string"))
