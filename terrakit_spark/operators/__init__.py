@@ -21,4 +21,4 @@ from terrakit_spark.operators import (  # noqa: F401
     textops,
     tiling,
 )
-from terrakit_spark.sources import rest  # noqa: F401  (S10 connector query)
+from terrakit_spark.sources import rest, vrt  # noqa: F401  (S10 + S7 connector queries)
