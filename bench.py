@@ -78,7 +78,7 @@ def run_queries(spark, sf_dir: str, heavy_only: bool = False) -> tuple[dict[str,
 
 
 SCALING_SCENE_PRED = "(scene_id % 5) = 0"
-SCALING_REPS = 2
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 
 
 def run_scaling_level(spark, sf_dir: str, cores: int, reps: int | None = None) -> tuple[dict[str, float], int]:

@@ -63,78 +63,12 @@ def chip_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # oracle: small scenes are matched iff their scene_date wins the as-of join
-# for some label date; each yields exactly one (clipped) chip = whole image.
-_ORACLE = with_synth(
-    DUCK,
-    f"""
-WITH matched_dates AS (
-  SELECT DISTINCT scene_date_str FROM (
-    SELECT b.datetime,
-           strftime(s.scene_date, '%Y-%m-%d') AS scene_date_str,
-           row_number() OVER (PARTITION BY b.datetime
-                              ORDER BY abs(datediff('day', b.dt, s.scene_date)) ASC, s.scene_date ASC) AS rn
-    FROM (SELECT DISTINCT datetime, CAST(datetime AS DATE) AS dt FROM labels) b
-    JOIN (SELECT DISTINCT scene_date FROM scenes) s
-      ON s.scene_date >= b.dt AND s.scene_date <= (b.dt + CAST(7 AS INT))
-  ) r WHERE rn = 1
-),
-small AS (
-  SELECT * FROM scenes WHERE ({SMALL_PRED_SQL})
-    AND scene_date_str IN (SELECT scene_date_str FROM matched_dates)
-),
-data_sums AS (
-  SELECT scene_id,
-         CAST(sum(CASE WHEN (scene_id + band + y * width + x) % {NODATA_EVERY} = 0 THEN -9999
-                       ELSE (scene_id * 7 + band * 13 + y * 31 + x * 17) % {PIXEL_MOD} + {PIXEL_BASE} END) AS BIGINT) AS data_sum
-  FROM (
-    SELECT scene_id, width, band, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
-    FROM (SELECT scene_id, width, band, unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
-          FROM (SELECT scene_id, width, height, unnest(generate_series(0, CAST(bands - 1 AS BIGINT))) AS band
-                FROM small) _sb) _sy
-  ) _px GROUP BY scene_id
-),
-px AS (
-  SELECT scene_id, y, x, gx, gy,
-         CAST(floor(gx + 1.8e2) AS BIGINT) AS cell_x,
-         CAST(floor(gy + 9.0e1) AS BIGINT) AS cell_y
-  FROM (
-    SELECT scene_id, y, x,
-           xmin + (x + 5.0e-1) * 7.8125e-3 AS gx,
-           ymax - (y + 5.0e-1) * 7.8125e-3 AS gy
-    FROM (SELECT scene_id, xmin, ymax, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
-          FROM (SELECT scene_id, width, height, xmin, ymax, unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
-                FROM small) _sy) _sx
-  ) _g
-),
-lcells AS (
-  SELECT label_id, cx, cy, rx, ry,
-         unnest(generate_series(CAST(floor(cy - ry + 9.0e1) AS BIGINT),
-                                CAST(floor(cy + ry + 9.0e1) AS BIGINT))) AS cell_y,
-         cell_x
-  FROM (SELECT label_id, cx, cy, rx, ry,
-               unnest(generate_series(CAST(floor(cx - rx + 1.8e2) AS BIGINT),
-                                      CAST(floor(cx + rx + 1.8e2) AS BIGINT))) AS cell_x
-        FROM labels) _lx
-),
-mass AS (
-  SELECT scene_id, count(*) AS label_mass FROM (
-    SELECT DISTINCT p.scene_id, p.y, p.x
-    FROM px p JOIN lcells l ON p.cell_x = l.cell_x AND p.cell_y = l.cell_y
-    WHERE abs(p.gx - l.cx) / l.rx + abs(p.gy - l.cy) / l.ry < 1
-  ) _c GROUP BY scene_id
-)
-SELECT s.scene_id, s.scene_date_str,
-       CAST(1 AS BIGINT) AS n_chips,
-       d.data_sum,
-       CAST(coalesce(m.label_mass, 0) AS BIGINT) AS label_mass
-FROM small s
-JOIN data_sums d ON d.scene_id = s.scene_id
-LEFT JOIN mass m ON m.scene_id = s.scene_id
-""",
-    tables=["labels", "scenes"],
-)
+# for some label date; closed-form (was per-pixel: 100+ s at sf0.01, now <5 s).
+# _pipeline_oracle is defined below next to the full-rollup variant; the
+# registration at the bottom of the module runs after both definitions.
 
-register_df("pipeline_summary_small", pipeline_summary_small, oracle=_ORACLE)
+
+
 # chip_pipeline_full oracle: closed-form, no per-pixel x enumeration.
 # - data_sum: per (scene, band, window-row, x-window) arithmetic series of
 #   ((C0 + 17x) mod 10501) + 500 with explicit wrap and nodata-hole terms
@@ -145,9 +79,12 @@ register_df("pipeline_summary_small", pipeline_summary_small, oracle=_ORACLE)
 # The DISTINCT before the island sweep is load-bearing: DuckDB 1.0's
 # parallel window eval mis-split a 450-duplicate-interval partition into an
 # extra island (observed at sf0.01); deduped partitions are tiny and safe.
-_FULL_ORACLE = with_synth(
-    DUCK,
-    r"""
+def _pipeline_oracle(pred: str, rollup: bool) -> str:
+    """Closed-form pipeline oracle, shared by the small-scene per-scene
+    gate, the skip-zero variant (guard drops nothing on synthetic pixels),
+    and the all-dims per-date rollup: window-exact arithmetic-series data
+    sums + interval-union label mass (see chip_pipeline_full notes)."""
+    ctes = r"""
 WITH matched_dates AS (
   SELECT DISTINCT scene_date_str FROM (
     SELECT b.datetime,
@@ -265,7 +202,9 @@ mass AS (
   JOIN ymult ym ON ym.scene_id = m.scene_id AND ym.y = m.y
   GROUP BY m.scene_id
 )
-SELECT s.scene_date_str,
+"""
+    if rollup:
+        final = r"""SELECT s.scene_date_str,
        CAST(sum(nx.n * ny.n) AS BIGINT) AS n_chips,
        CAST(sum(ds.data_sum) AS BIGINT) AS data_sum,
        CAST(sum(coalesce(m.label_mass, 0)) AS BIGINT) AS label_mass
@@ -275,9 +214,26 @@ JOIN ny ON ny.scene_id = s.scene_id
 JOIN ds ON ds.scene_id = s.scene_id
 LEFT JOIN mass m ON m.scene_id = s.scene_id
 GROUP BY s.scene_date_str
-""",
-    tables=["labels", "scenes"],
-)
+"""
+    else:
+        final = r"""
+SELECT s.scene_id, s.scene_date_str,
+       CAST(nx.n * ny.n AS BIGINT) AS n_chips,
+       ds.data_sum,
+       CAST(coalesce(m.label_mass, 0) AS BIGINT) AS label_mass
+FROM sc s
+JOIN nx ON nx.scene_id = s.scene_id
+JOIN ny ON ny.scene_id = s.scene_id
+JOIN ds ON ds.scene_id = s.scene_id
+LEFT JOIN mass m ON m.scene_id = s.scene_id
+"""
+    return with_synth(DUCK, ctes.replace("((scene_id % 35) = 0)", f"({pred})") + final, tables=["labels", "scenes"])
+
+
+_FULL_ORACLE = _pipeline_oracle("(scene_id % 35) = 0", rollup=True)
+_ORACLE = _pipeline_oracle(SMALL_PRED_SQL, rollup=False)
+
+register_df("pipeline_summary_small", pipeline_summary_small, oracle=_ORACLE)
 
 register_df("chip_pipeline_full", chip_pipeline_full, oracle=_FULL_ORACLE)
 

@@ -173,45 +173,52 @@ def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(untouched)
 
 
+# Candidate pixels come from per-(scene, label, row) diamond bboxes — NOT a
+# pixels x cell-join (hotspot cells made that quadratic: 605 s at sf0.01;
+# this form runs in seconds). Winner per pixel = max-geom_seq cover
+# (last-wins burn), identical to the engine's reverse-order occlusion burn.
 _BURN_ORACLE = with_synth(
     DUCK,
     f"""
-WITH px AS (
-  SELECT scene_id, y, x, gx, gy,
-         CAST(floor(gx + 1.8e2) AS BIGINT) AS cell_x,
-         CAST(floor(gy + 9.0e1) AS BIGINT) AS cell_y
-  FROM (
-    SELECT scene_id, y, x,
-           xmin + (x + 5.0e-1) * {RES_SQL} AS gx,
-           ymax - (y + 5.0e-1) * {RES_SQL} AS gy
-    FROM (SELECT scene_id, xmin, ymax, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
-          FROM (SELECT scene_id, width, height, xmin, ymax, unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
-                FROM scenes WHERE {SMALL_PRED_SQL}) _sy) _sx
-  ) _g
+WITH sc AS (
+  SELECT scene_id, width, height, xmin, ymin, xmax, ymax
+  FROM scenes WHERE {SMALL_PRED_SQL}
 ),
-lcells AS (
-  SELECT label_id, labelclass, geom_seq, cx, cy, rx, ry,
-         unnest(generate_series(CAST(floor(cy - ry + 9.0e1) AS BIGINT),
-                                CAST(floor(cy + ry + 9.0e1) AS BIGINT))) AS cell_y,
-         cell_x
-  FROM (SELECT label_id, labelclass, geom_seq, cx, cy, rx, ry,
-               unnest(generate_series(CAST(floor(cx - rx + 1.8e2) AS BIGINT),
-                                      CAST(floor(cx + rx + 1.8e2) AS BIGINT))) AS cell_x
-        FROM labels) _lx
+prs AS (
+  SELECT s.scene_id, s.width, s.height, s.xmin, s.ymax,
+         l.geom_seq, l.labelclass, l.cx, l.cy, l.rx, l.ry
+  FROM sc s JOIN labels l
+    ON l.cx - l.rx <= s.xmax AND l.cx + l.rx >= s.xmin
+   AND l.cy - l.ry <= s.ymax AND l.cy + l.ry >= s.ymin
+),
+cand AS (
+  SELECT scene_id, xmin, ymax, labelclass, geom_seq, cx, cy, rx, ry, y,
+         unnest(generate_series(xlo, xhi)) AS x
+  FROM (
+    SELECT *,
+      greatest(CAST(floor((cx - rx - xmin) / {RES_SQL} - 5.0e-1) AS BIGINT), 0) AS xlo,
+      least(CAST(ceil((cx + rx - xmin) / {RES_SQL} - 5.0e-1) AS BIGINT), CAST(width AS BIGINT) - 1) AS xhi
+    FROM (
+      SELECT *, unnest(generate_series(ylo, yhi)) AS y FROM (
+        SELECT *,
+          greatest(CAST(floor((ymax - cy - ry) / {RES_SQL} - 5.0e-1) AS BIGINT) + 1, 0) AS ylo,
+          least(CAST(ceil((ymax - cy + ry) / {RES_SQL} - 5.0e-1) AS BIGINT) - 1, CAST(height AS BIGINT) - 1) AS yhi
+        FROM prs) _y
+      WHERE ylo <= yhi) _x
+  ) _c WHERE xlo <= xhi
 ),
 covered AS (
-  SELECT p.scene_id, p.y, p.x, arg_max(l.labelclass, l.geom_seq) AS cls
-  FROM px p
-  JOIN lcells l ON p.cell_x = l.cell_x AND p.cell_y = l.cell_y
-  WHERE abs(p.gx - l.cx) / l.rx + abs(p.gy - l.cy) / l.ry < 1
-  GROUP BY p.scene_id, p.y, p.x
+  SELECT scene_id, y, x, arg_max(labelclass, geom_seq) AS cls
+  FROM cand
+  WHERE abs((xmin + (x + 5.0e-1) * {RES_SQL}) - cx) / rx
+      + abs((ymax - (y + 5.0e-1) * {RES_SQL}) - cy) / ry < 1
+  GROUP BY scene_id, y, x
 ),
 per_class AS (
   SELECT scene_id, cls, count(*) AS n_px FROM covered GROUP BY scene_id, cls
 ),
 totals AS (
-  SELECT scene_id, CAST(width AS BIGINT) * CAST(height AS BIGINT) AS total
-  FROM scenes WHERE {SMALL_PRED_SQL}
+  SELECT scene_id, CAST(width AS BIGINT) * CAST(height AS BIGINT) AS total FROM sc
 )
 SELECT scene_id, CAST(cls AS INT) AS label_class, CAST(n_px AS BIGINT) AS n_px FROM per_class
 UNION ALL
