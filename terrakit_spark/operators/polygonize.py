@@ -126,8 +126,7 @@ def trace_rings(mask: np.ndarray) -> list[list[tuple[int, int]]]:
         path = [(sx, sy)]
         cx, cy, cd = outs[0]
         _pop(edges, (sx, sy), 0)
-        dirs = [0]
-        dirs[0] = cdstart = cd
+        dirs = [cd]
         while (cx, cy) != (sx, sy):
             path.append((cx, cy))
             outs = edges[(cx, cy)]
