@@ -54,3 +54,28 @@ def test_write_chip_tifs_distributed(synth, spark, sf_dir, tmp_path):
     assert p["xmin"] == row.chip_xmin and p["ymax"] == row.chip_ymax and p["res"] == RES
     lp = parse_geotiff(open(os.path.join(out, f"{row.scene_id}_{row.win_index}.label.tif"), "rb").read())
     assert np.array_equal(lp["cube"][0], np.frombuffer(row.label, dtype=np.int32).reshape(row.chip_h, row.chip_w))
+
+
+def test_geotiff_roundtrip_property():
+    """Arbitrary shapes/band counts/values (incl. negatives and extremes)
+    survive encode->decode bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        nb=st.integers(1, 5),
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        xmin=st.floats(-180, 180, allow_nan=False),
+        ymax=st.floats(-90, 90, allow_nan=False),
+    )
+    def check(nb, h, w, seed, xmin, ymax):
+        rng = np.random.RandomState(seed)
+        cube = ((rng.rand(nb, h, w) - 0.5) * 2e6).astype(np.float32)
+        p = parse_geotiff(geotiff_bytes(cube, xmin, ymax, 0.0078125, nodata=-9999))
+        assert np.array_equal(p["cube"], cube)
+        assert p["xmin"] == xmin and p["ymax"] == ymax
+
+    check()

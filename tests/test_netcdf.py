@@ -44,3 +44,22 @@ def test_scene_nc_distributed_roundtrip(synth, spark, sf_dir, tmp_path):
         assert (r.bands, r.height, r.width) == (o.bands, o.height, o.width)
         assert r.pixels == o.pixels  # float32 bytes identical
         assert abs(r.xmin - o.xmin) < 1e-9 and abs(r.ymax - o.ymax) < 1e-9
+
+
+def test_netcdf_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(nb=st.integers(1, 4), h=st.integers(1, 30), w=st.integers(1, 30), seed=st.integers(0, 2**31 - 1))
+    def check(nb, h, w, seed):
+        rng = np.random.RandomState(seed)
+        cube = ((rng.rand(nb, h, w) - 0.5) * 1e5).astype(np.float32)
+        lats = 90.0 - np.arange(h) * 0.25
+        lons = -180.0 + np.arange(w) * 0.25
+        p = parse_netcdf(netcdf_bytes(cube, lats, lons, "data", global_attrs={"t": "x"}))
+        assert np.array_equal(p["vars"]["data"]["data"], cube)
+        assert np.allclose(p["vars"]["lat"]["data"], lats)
+        assert p["dims"] == {"band": nb, "lat": h, "lon": w}
+
+    check()

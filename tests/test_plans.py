@@ -104,3 +104,20 @@ def test_partition_pruning_on_stored_tables(synth, spark, sf_dir, tmp_path):
 
         sj._MATERIALIZED.discard(spark.sparkContext.applicationId)
         register_synth_views(spark, sf_dir)
+
+
+def test_new_joins_are_equi_hash(synth, spark, sf_dir):
+    """simhash banding, LSH buckets, IVF inverted lists, and the dedup
+    cluster edges all join on equality keys — hash/merge joins, never a
+    cartesian. (ann_ivf's codebook crossJoin is the one sanctioned
+    broadcast-nested-loop: a fixed-size codebook against every vector.)"""
+    for q in ("simhash_near_dup", "ann_lsh_bucketed"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")), q
+        assert "CartesianProduct" not in plan, q
+
+    ivf = _plan(QUERIES["ann_ivf"](spark, sf_dir))
+    # inverted-list probe join is an equi join; the codebook scan is the
+    # only nested-loop and must be on the broadcast side
+    assert any(j in ivf for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+    assert "CartesianProduct" not in ivf
