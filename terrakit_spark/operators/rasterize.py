@@ -66,24 +66,25 @@ def burn_image(
         for tx in range(tw):
             tiles_unset[ty, tx] = min(TS, height - ty * TS) * min(TS, width - tx * TS)
 
-    def _recount(ty0, ty1, tx0, tx1):
-        for ty in range(ty0, ty1):
-            for tx in range(tx0, tx1):
-                blk = img[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
-                tiles_unset[ty, tx] = int((blk == UNSET).sum())
+    # Precompute all bboxes vectorized (one pass instead of 2 numpy
+    # reductions per polygon inside the loop — hotspot scenes see 10^4
+    # overlapping polygons and the per-poly Python overhead is the cost).
+    parr = np.stack(polys)  # (n, 4, 2) — diamonds/quads; ragged callers
+    bx0a, by0a = parr.min(axis=1).T
+    bx1a, by1a = parr.max(axis=1).T
+    x_lo_a = np.searchsorted(xs, bx0a, "left")
+    x_hi_a = np.searchsorted(xs, bx1a, "right")
+    y_lo_a = height - np.searchsorted(ys_rev, by1a, "right")
+    y_hi_a = height - np.searchsorted(ys_rev, by0a, "left")
 
     # REVERSE geom_seq order with first-write-wins == forward last-wins:
     # once a region is written, polygons underneath never pay a ray cast,
     # bounding total PIP work by O(pixels), not O(pixels x polygons).
-    for poly, cls in zip(reversed(polys), reversed(classes)):
-        bx0, by0 = poly.min(axis=0)
-        bx1, by1 = poly.max(axis=0)
-        # rectangle of pixels whose centers fall inside the polygon bbox
-        # (inclusive, identical predicate to a full-grid mask)
-        x_lo = int(np.searchsorted(xs, bx0, "left"))
-        x_hi = int(np.searchsorted(xs, bx1, "right"))
-        y_lo = height - int(np.searchsorted(ys_rev, by1, "right"))
-        y_hi = height - int(np.searchsorted(ys_rev, by0, "left"))
+    remaining = int(tiles_unset.sum())
+    n = len(polys)
+    for i in range(n - 1, -1, -1):
+        x_lo, x_hi = int(x_lo_a[i]), int(x_hi_a[i])
+        y_lo, y_hi = int(y_lo_a[i]), int(y_hi_a[i])
         if x_lo >= x_hi or y_lo >= y_hi:
             continue
         ty0, ty1 = y_lo // TS, (y_hi - 1) // TS + 1
@@ -92,17 +93,30 @@ def burn_image(
             continue
         block = img[y_lo:y_hi, x_lo:x_hi]
         unset = block == UNSET
-        if not unset.any():
-            continue
         rows, cols = np.nonzero(unset)
+        if rows.size == 0:
+            continue
+        poly = polys[i]
         hit = ray_cast(
             xs[x_lo + cols],
             ys[y_lo + rows],
             np.broadcast_to(poly, (rows.size, poly.shape[0], 2)),
         )
-        if hit.any():
-            block[rows[hit], cols[hit]] = cls
-            _recount(ty0, ty1, tx0, tx1)
+        nhit = int(hit.sum())
+        if nhit:
+            hr, hc = rows[hit], cols[hit]
+            block[hr, hc] = classes[i]
+            # decremental occupancy update: we know exactly which tiles the
+            # written pixels fall in — no rescan (was a Python-loop recount
+            # per written polygon, the hotspot-scene hot spot)
+            np.subtract.at(
+                tiles_unset,
+                ((y_lo + hr) // TS, (x_lo + hc) // TS),
+                1,
+            )
+            remaining -= nhit
+            if remaining == 0:
+                break  # image fully painted; all earlier polys are occluded
     img[img == UNSET] = fill
     return img
 
