@@ -43,6 +43,8 @@ class Snapshot:
     partition_col: str | None
     partition_rows: dict[str, int]
     data_dir: str
+    # column -> type, recorded at commit; older manifests lack it (None)
+    schema: dict[str, str] | None = None
 
 
 class SnapshotTable:
@@ -76,6 +78,19 @@ class SnapshotTable:
         crash-retryable: a writer that dies after writing data but before
         the manifest rename leaves an orphan dir that no manifest references
         and no retry ever collides with (retries get a new uuid)."""
+        schema = dict(df.dtypes)
+        prev = [sn for sn in self.snapshots() if sn.schema is not None]
+        if prev:
+            # Iceberg-style evolution guard (checked BEFORE any data write):
+            # adding columns is fine, but a committed column may never
+            # change type or disappear — readers union every snapshot's
+            # data files.
+            last = prev[-1].schema
+            broken = {c: (t, schema.get(c)) for c, t in last.items() if schema.get(c) != t}
+            if broken:
+                raise ValueError(
+                    f"incompatible schema change vs snapshot {prev[-1].snapshot_id}: {broken}"
+                )
         sid = self.next_snapshot_id()
         data_dir = os.path.join(self.root, "data", f"snap={sid}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(data_dir)
@@ -97,6 +112,7 @@ class SnapshotTable:
             partition_col=partition_col,
             partition_rows=part_rows,
             data_dir=data_dir,
+            schema=schema,
         )
         tmp = os.path.join(self.root, "_snapshots", f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.root, "_snapshots", f"{sid:012d}.json")

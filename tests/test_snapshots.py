@@ -94,3 +94,24 @@ def test_time_travel_read(spark, tmp_path):
     assert t.read(spark).count() == 7
     assert t.read(spark, as_of=0).count() == 3
     assert t.read(spark, as_of=99).count() == 7
+
+
+def test_schema_evolution_guard(spark, tmp_path):
+    """Adding columns is allowed (union-by-position readers get NULLs via
+    parquet schema merge); changing a committed column's type or dropping
+    it is refused at commit time."""
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(3).withColumn("p", F.lit("a")), step="s", partition_col="p")
+    # widening: extra column ok
+    t.commit(
+        spark.range(3).withColumn("p", F.lit("b")).withColumn("extra", F.lit(1.5)),
+        step="s",
+        partition_col="p",
+    )
+    # type change on a committed column -> refused, nothing committed
+    bad = spark.range(3).withColumn("p", F.lit(7))  # p was string
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.commit(bad, step="s", partition_col="p")
+    assert len(t.snapshots()) == 2
