@@ -114,3 +114,74 @@ def batch_equivalent(spark: SparkSession, input_dir: str, window: str = "1 hour"
             F.round("sum_value", 6).alias("sum_value"),
         )
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+DEDUP_BUCKETS = 256
+
+
+def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful streaming dedup via applyInPandasWithState: emit a
+    document only the FIRST time its content fingerprint is seen across the
+    whole stream (the training-pipeline 'exact dedup at ingest' shape).
+
+    State is a fingerprint set per hash bucket — groupBy(bucket) bounds
+    both shuffle keys and per-group state; within a micro-batch the
+    min-doc_id duplicate wins (deterministic), across batches the earlier
+    batch wins (stream order). At 10^12 docs the per-bucket set moves to a
+    bloom/rocksdb state store; the operator shape is unchanged."""
+    import pandas as pd
+
+    src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    bucketed = src.withColumn("bucket", F.crc32(F.col("fingerprint")) % DEDUP_BUCKETS)
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fingerprint", T.StringType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+
+    def first_seen(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for r in pdf.itertuples(index=False):
+                if r.fingerprint not in seen:
+                    seen.add(r.fingerprint)
+                    rows.append((int(r.doc_id), r.fingerprint))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        first_seen, out_type, state_type, "append", "NoTimeout"
+    )
+
+
+def batch_first_seen(spark: SparkSession, input_dirs: list[str]) -> DataFrame:
+    """Batch equivalent: first batch wins, then min doc_id — the parity
+    oracle for streaming_first_seen over the same files."""
+    dfs = [
+        spark.read.schema(DOC_SCHEMA).parquet(d).withColumn("_b", F.lit(i))
+        for i, d in enumerate(input_dirs)
+    ]
+    allr = dfs[0]
+    for d in dfs[1:]:
+        allr = allr.unionByName(d)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fingerprint").orderBy(F.col("_b").asc(), F.col("doc_id").asc())
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("doc_id", "fingerprint")
+    )

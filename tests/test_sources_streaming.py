@@ -68,3 +68,48 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         for r in sessionize_batch(spark, inp).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_streaming_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: two micro-batches with
+    within-batch and cross-batch duplicates; the emitted set must equal the
+    batch first-wins oracle, and a duplicate arriving in a LATER batch must
+    not re-emit (state persisted across batches)."""
+    import datetime as dt
+
+    from terrakit_spark.streaming.incremental import (
+        batch_first_seen,
+        streaming_first_seen,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    b1 = [(1, "fA", t0), (2, "fB", t0), (3, "fA", t0)]  # within-batch dup
+    b2 = [(4, "fB", t0), (5, "fC", t0), (6, "fC", t0)]  # cross + within dup
+    inp = str(tmp_path / "docs")
+    schema = "doc_id long, fingerprint string, ts timestamp"
+    spark.createDataFrame(b1, schema).write.parquet(inp + "/batch=1")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            streaming_first_seen(spark, inp + "/batch=*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(b2, schema).write.parquet(inp + "/batch=2")
+    drain()  # resumes from the checkpoint: batch-1 state must persist
+
+    got = {(r.doc_id, r.fingerprint) for r in spark.read.parquet(out).collect()}
+    expected = {
+        (r.doc_id, r.fingerprint)
+        for r in batch_first_seen(spark, [inp + "/batch=1", inp + "/batch=2"]).collect()
+    }
+    assert got == expected == {(1, "fA"), (2, "fB"), (5, "fC")}
