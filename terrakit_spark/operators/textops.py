@@ -76,3 +76,88 @@ register_sql("token_stats", _token_stats, tables=[])
 register_sql("quality_score", _quality_score, tables=[])
 register_sql("lang_id", _lang_id, tables=[])
 register_sql("doc_fingerprint", _fingerprint, tables=["docs_aug"])
+
+
+def _repetition_signals(dialect: str) -> str:
+    """Gopher-style repetition quality signals: duplicate-2gram fraction
+    (1 - distinct/total) and top-2gram fraction (most frequent 2-gram's
+    share). Repetitive machine-generated text scores high on both; the
+    curation filter drops docs above thresholds. Pure codegen SQL."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    n = d.arr_len(toks)
+    if dialect == "spark":
+        grams = f"transform(sequence(0, {n} - 2), i -> concat(toks_a[i], ' ', toks_a[i + 1]))"
+        explode = "LATERAL VIEW explode(grams) _g AS gram"
+        gram_rows = f"SELECT doc_id, n_2g, gram FROM base {explode}"
+    else:
+        grams = f"list_transform(generate_series(1, {n} - 1), i -> concat(toks_a[i], ' ', toks_a[i + 1]))"
+        gram_rows = "SELECT doc_id, n_2g, unnest(grams) AS gram FROM base"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {grams} AS grams, {n} - 1 AS n_2g
+  FROM (SELECT doc_id, {d.split_ws('text')} AS toks_a, text FROM documents) _t
+  WHERE {n} >= 2
+),
+counts AS (
+  SELECT doc_id, n_2g, gram, count(*) AS c FROM ({gram_rows}) _r GROUP BY doc_id, n_2g, gram
+)
+SELECT doc_id,
+       CAST(n_2g AS INT) AS n_2grams,
+       round(1 - count(*) / CAST(n_2g AS DOUBLE), 6) AS dup_2gram_fraction,
+       round(max(c) / CAST(n_2g AS DOUBLE), 6) AS top_2gram_fraction
+FROM counts GROUP BY doc_id, n_2g
+"""
+
+
+register_sql("repetition_signals", _repetition_signals, tables=[])
+
+
+def _corpus_curation(dialect: str) -> str:
+    """The composed curation pipeline a training corpus actually runs, as
+    ONE declarative query: exact-dedup keeper join x language-ID x token
+    bounds x repetition filter, rolled up per predicted language. Each
+    stage is the already-oracle-checked operator reused as a subquery —
+    Catalyst fuses the whole thing into a few shuffles (the per-doc signals
+    are all computed in one scan)."""
+    d = D(dialect)
+    if dialect == "spark":
+        norm = "lower(regexp_replace(text, '\\\\s+', ' '))"
+    else:
+        norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    toks = d.split_ws("text")
+    n = d.arr_len(toks)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, lang_pred FROM ({_lang_id(dialect)}) _l
+),
+rep AS (
+  SELECT doc_id, dup_2gram_fraction FROM ({_repetition_signals(dialect)}) _r
+),
+keeper AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM (SELECT doc_id, md5({norm}) AS fp FROM documents) _f
+  ) _k WHERE rn = 1
+),
+tok AS (SELECT doc_id, {n} AS n_tokens FROM documents)
+SELECT s.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs_in,
+       CAST(sum(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM (
+  SELECT s.doc_id, s.lang_pred, t.n_tokens,
+         CASE WHEN k.doc_id IS NOT NULL
+               AND t.n_tokens BETWEEN 10 AND 1000
+               AND coalesce(r.dup_2gram_fraction, 1.0) <= 0.6
+              THEN 1 ELSE 0 END AS keep
+  FROM sig s
+  JOIN tok t ON t.doc_id = s.doc_id
+  LEFT JOIN rep r ON r.doc_id = s.doc_id
+  LEFT JOIN keeper k ON k.doc_id = s.doc_id
+) s
+GROUP BY s.lang_pred
+"""
+
+
+register_sql("corpus_curation", _corpus_curation, tables=[])
