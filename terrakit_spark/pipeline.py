@@ -169,6 +169,16 @@ def chip_pipeline(
             "bands", "chip_w", "chip_h", "data", "label",
             "px_sum", "px_sumsq", "label_mass",
         ]
+        # Per-task burn memo keyed by raster footprint: tiled archives
+        # (Sentinel-2 MGRS-style fixed grids) revisit the same footprint for
+        # every acquisition date, and the label burn is a pure function of
+        # (grid, label layer) — burn each footprint once per task, not once
+        # per scene (J6 dedup-before-compute applied to rasterization).
+        # Bounded LRU; arbitrary-footprint archives just miss and pay the
+        # normal burn. Broadcast path only (the join path's candidate set
+        # is per-scene).
+        burn_memo: dict[tuple[int, int, int, int], np.ndarray] = {}
+        MEMO_MAX = 32
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -183,27 +193,35 @@ def chip_pipeline(
                     # F13 zero-scene guard (sentinelhub.py:174-176)
                     continue
                 if bc is not None:
-                    # broadcast path: vectorized bbox-overlap candidate
-                    # selection against the whole (seq-sorted) label layer
-                    L = bc.value
-                    sel = (
-                        (L["cx"] - L["rx"] <= float(r.xmax))
-                        & (L["cx"] + L["rx"] >= float(r.xmin))
-                        & (L["cy"] - L["ry"] <= float(r.ymax))
-                        & (L["cy"] + L["ry"] >= float(r.ymin))
-                    )
-                    idx = np.nonzero(sel)[0]
-                    polys = [
-                        np.array(
-                            [[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]],
-                            dtype=np.float64,
+                    # exact float key: only bit-identical footprints share a burn
+                    key = (float(r.xmin), float(r.ymax), w, h)
+                    if key in burn_memo:
+                        label_img = burn_memo[key]
+                    else:
+                        # broadcast path: vectorized bbox-overlap candidate
+                        # selection against the whole (seq-sorted) label layer
+                        L = bc.value
+                        sel = (
+                            (L["cx"] - L["rx"] <= float(r.xmax))
+                            & (L["cx"] + L["rx"] >= float(r.xmin))
+                            & (L["cy"] - L["ry"] <= float(r.ymax))
+                            & (L["cy"] + L["ry"] >= float(r.ymin))
                         )
-                        for cx, cy, rx, ry in zip(
-                            L["cx"][idx], L["cy"][idx], L["rx"][idx], L["ry"][idx]
-                        )
-                    ]
-                    classes = [int(c) for c in L["cls"][idx]]
-                    label_img = burn_image(w, h, float(r.xmin), float(r.ymax), polys, classes)
+                        idx = np.nonzero(sel)[0]
+                        polys = [
+                            np.array(
+                                [[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]],
+                                dtype=np.float64,
+                            )
+                            for cx, cy, rx, ry in zip(
+                                L["cx"][idx], L["cy"][idx], L["rx"][idx], L["ry"][idx]
+                            )
+                        ]
+                        classes = [int(c) for c in L["cls"][idx]]
+                        label_img = burn_image(w, h, float(r.xmin), float(r.ymax), polys, classes)
+                        if len(burn_memo) >= MEMO_MAX:
+                            burn_memo.pop(next(iter(burn_memo)))
+                        burn_memo[key] = label_img
                 elif r.polys is not None and len(r.polys) > 0:
                     polys = [
                         np.array(
