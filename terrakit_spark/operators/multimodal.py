@@ -109,3 +109,54 @@ WHERE m % 3 = 0
 
 
 register_sql("media_frame_sample", _frame_sample, tables=["media"])
+
+
+RESIZED = 8
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: decode -> nearest-neighbour downsample
+    (16x16 -> 8x8, src index = floor(i * src/dst)) -> resized-patch stats.
+    Same mapInPandas shape a PIL-backed resize drops into; the NN index
+    math is exact so the oracle reproduces the resized pixels in SQL."""
+    _register_views(spark, sf_dir)
+    media = spark.table("media").filter("doc_num % 50 = 0").select("media_ref", "doc_num", "m")
+    step = PATCH // RESIZED
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, d, m in zip(pdf["media_ref"], pdf["doc_num"], pdf["m"]):
+                p = _decode_patch(int(d), int(m))[::step, ::step]
+                rows.append((ref, RESIZED, RESIZED, int(p.sum()), int(p.min()), int(p.max())))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "rw", "rh", "px_sum", "px_min", "px_max"]
+            )
+
+    return media.mapInPandas(
+        resize, schema="media_ref string, rw int, rh int, px_sum long, px_min long, px_max long"
+    )
+
+
+_RESIZE_ORACLE = with_synth(
+    DUCK,
+    f"""
+SELECT media_ref,
+       CAST({RESIZED} AS INT) AS rw, CAST({RESIZED} AS INT) AS rh,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM (
+  SELECT media_ref,
+         (doc_num * 31 + m * 17 + (y * {PATCH // RESIZED}) * 7 + (x * {PATCH // RESIZED}) * 3) % 256 AS v
+  FROM (
+    SELECT media_ref, doc_num, m, y, unnest(generate_series(0, {RESIZED - 1})) AS x
+    FROM (SELECT media_ref, doc_num, m, unnest(generate_series(0, {RESIZED - 1})) AS y
+          FROM media WHERE doc_num % 50 = 0) _my
+  ) _mx
+) _px GROUP BY media_ref
+""",
+    tables=["media"],
+)
+
+register_df("media_resize", media_resize, oracle=_RESIZE_ORACLE)
