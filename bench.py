@@ -92,9 +92,16 @@ def run_scaling_level(spark, sf_dir: str, cores: int, reps: int | None = None) -
 
     from terrakit_spark.pipeline import chip_pipeline
 
+    # memoize_burns=False: the scaling study measures the COMPUTE-BOUND
+    # dataset-generation workload. With footprint memoization on, this
+    # single-socket job becomes DRAM/pipe-bandwidth bound and the two-level
+    # comparison measures the memory wall (measured: pure copy bandwidth
+    # scales only 1.56x from 8 to 32 procs on this node), not the engine.
+    # Multi-node clusters bring bandwidth per node; this sandbox cannot.
     jobs = {
         "q_chip_pipeline": lambda: chip_pipeline(
-            spark, sf_dir, scene_pred=SCALING_SCENE_PRED, shuffle_parts=cores * 4
+            spark, sf_dir, scene_pred=SCALING_SCENE_PRED, shuffle_parts=cores * 4,
+            memoize_burns=False,
         ).count(),
     }
     best: dict[str, float] = {}

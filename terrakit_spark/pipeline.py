@@ -92,6 +92,7 @@ def chip_pipeline(
     transforms: list[str] | None = None,
     labels_via: str = "broadcast",
     skip_zero_scenes: bool = False,
+    memoize_burns: bool = True,
 ) -> DataFrame:
     """Returns the chip table: one row per (scene, window) with data chip,
     label chip, and per-band integer stat partials.
@@ -177,8 +178,8 @@ def chip_pipeline(
         # Bounded LRU; arbitrary-footprint archives just miss and pay the
         # normal burn. Broadcast path only (the join path's candidate set
         # is per-scene).
-        burn_memo: dict[tuple[int, int, int, int], np.ndarray] = {}
-        MEMO_MAX = 32
+        burn_memo: dict[tuple[float, float, int, int], np.ndarray] = {}
+        MEMO_MAX = 32 if memoize_burns else 0
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -195,7 +196,7 @@ def chip_pipeline(
                 if bc is not None:
                     # exact float key: only bit-identical footprints share a burn
                     key = (float(r.xmin), float(r.ymax), w, h)
-                    if key in burn_memo:
+                    if MEMO_MAX and key in burn_memo:
                         label_img = burn_memo[key]
                     else:
                         # broadcast path: vectorized bbox-overlap candidate
@@ -219,9 +220,10 @@ def chip_pipeline(
                         ]
                         classes = [int(c) for c in L["cls"][idx]]
                         label_img = burn_image(w, h, float(r.xmin), float(r.ymax), polys, classes)
-                        if len(burn_memo) >= MEMO_MAX:
-                            burn_memo.pop(next(iter(burn_memo)))
-                        burn_memo[key] = label_img
+                        if MEMO_MAX:
+                            if len(burn_memo) >= MEMO_MAX:
+                                burn_memo.pop(next(iter(burn_memo)))
+                            burn_memo[key] = label_img
                 elif r.polys is not None and len(r.polys) > 0:
                     polys = [
                         np.array(
