@@ -78,3 +78,45 @@ def with_salt(df: DataFrame, cell: str, n_salts: int, key: Column, out: str = "s
 
 def replicate_salts(df: DataFrame, n_salts: int, out: str = "salt") -> DataFrame:
     return df.withColumn(out, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+
+
+# ---------------------------------------------------------------- quadkeys
+# Hierarchical cell ids (the H3/S2 role in this engine): level-L Z-order
+# (Morton) interleave of the lon/lat cell indices — Bing-quadkey layout, x
+# bits at odd positions. Parent/child is pure bit-shift arithmetic:
+# parent_l(qk) = qk >> 2*(L-l), so multi-resolution joins and rollups never
+# leave whole-stage codegen.
+QK_LEVEL = 12  # 4096 x 4096 cells, ~0.09 deg at the equator
+
+
+def quadkey(lon: Column, lat: Column, level: int = QK_LEVEL) -> Column:
+    nx = 1 << level
+    cx = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx).cast("long"), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    cy = F.least(
+        F.greatest(F.floor((F.lit(90.0) - lat) / F.lit(180.0) * nx).cast("long"), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(level):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(cx, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftright(cy, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return out
+
+
+def quadkey_parent(qk: Column, level: int, parent_level: int) -> Column:
+    return F.shiftright(qk, 2 * (level - parent_level))
+
+
+def quadkey_str(qk: Column, level: int = QK_LEVEL) -> Column:
+    """Base-4 digit string (the Bing tile-address form)."""
+    digits = [
+        F.shiftright(qk, 2 * (level - 1 - i)).bitwiseAND(F.lit(3)).cast("string")
+        for i in range(level)
+    ]
+    return F.concat(*digits)

@@ -162,3 +162,66 @@ register_sql("geo_scalars", _geo_scalars, tables=["scenes"])
 register_sql("date_token_extract", _date_token_extract, tables=["labels"])
 register_sql("domain_assign", _domain_assign, tables=["scenes"])
 register_sql("descriptive_stats", _descriptive_stats, tables=[])
+
+
+def _quadkey_query(spark, sf_dir):
+    """Hierarchical quadkey cells (the H3/S2 role): level-12 Z-order cell id
+    for each media point, its level-6 parent (pure shift), and the base-4
+    tile-address string — all whole-stage-codegen column math
+    (functions/cells.py); the oracle replicates the bit interleave in SQL."""
+    from pyspark.sql import functions as F
+
+    from terrakit_spark.functions.cells import QK_LEVEL, quadkey, quadkey_parent, quadkey_str
+    from terrakit_spark.operators.spatial_join import _register_views
+
+    _register_views(spark, sf_dir)
+    pts = spark.table("media").filter("doc_num % 20 = 0").select("media_ref", "mx", "my")
+    qk = quadkey(F.col("mx"), F.col("my"))
+    return pts.select(
+        "media_ref",
+        qk.alias("qk12"),
+        quadkey_parent(qk, QK_LEVEL, 6).alias("qk6"),
+        quadkey_str(qk).alias("tile_addr"),
+    )
+
+
+def _quadkey_oracle() -> str:
+    from terrakit_spark.dialect import DUCK
+    from terrakit_spark.functions.cells import QK_LEVEL
+    from terrakit_spark.registry import with_synth
+
+    d = D(DUCK)
+    nx = 1 << QK_LEVEL
+    terms = []
+    for b in range(QK_LEVEL):
+        xbit = "(" + d.shiftright("cx", str(b)) + " % 2)"
+        ybit = "(" + d.shiftright("cy", str(b)) + " % 2)"
+        terms.append(d.shiftleft(xbit, str(2 * b + 1)) + " + " + d.shiftleft(ybit, str(2 * b)))
+    bits = " + ".join(terms)
+    digit_parts = []
+    for i in range(QK_LEVEL):
+        sh = d.shiftright("qk12", str(2 * (QK_LEVEL - 1 - i)))
+        digit_parts.append("CAST((" + sh + " % 4) AS VARCHAR)")
+    digits = ", ".join(digit_parts)
+    return with_synth(
+        DUCK,
+        f"""
+SELECT media_ref, qk12, {d.shiftright('qk12', str(2 * (QK_LEVEL - 6)))} AS qk6,
+       concat({digits}) AS tile_addr
+FROM (
+  SELECT media_ref, CAST({bits} AS BIGINT) AS qk12
+  FROM (
+    SELECT media_ref,
+           least(greatest(CAST(floor((mx + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS cx,
+           least(greatest(CAST(floor((90.0 - my) / 180.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS cy
+    FROM media WHERE doc_num % 20 = 0
+  ) _c
+) _q
+""",
+        tables=["media"],
+    )
+
+
+from terrakit_spark.registry import register_df  # noqa: E402
+
+register_df("quadkey_cells", _quadkey_query, oracle=_quadkey_oracle())
