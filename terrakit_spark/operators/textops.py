@@ -161,3 +161,43 @@ GROUP BY s.lang_pred
 
 
 register_sql("corpus_curation", _corpus_curation, tables=[])
+
+
+TOKEN_BUDGET = 5000
+
+
+def _token_budget_sample(dialect: str) -> str:
+    """Token-budget sampling: fill a fixed token budget with the
+    highest-priority documents (priority = stopword ratio as the quality
+    proxy, doc_id tiebreak) — the 'take the best N tokens' cut every
+    corpus build ends with. A doc is kept while the running token total of
+    strictly-higher-priority docs stays under budget (so the first
+    over-budget doc is the last kept).
+
+    Scale note: the global ORDER BY window is fine here and at moderate
+    corpus sizes; at 10^12 docs the same semantics run as two passes —
+    priority-histogram to locate the cutoff bucket, then the exact window
+    only within that bucket."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    n = d.arr_len(toks)
+    stop = d.list_filter_in(toks, STOP_EN)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
+         round({stop} / {n}, 6) AS priority
+  FROM documents WHERE {n} >= 1
+),
+runsum AS (
+  SELECT doc_id, n_tokens, priority,
+         sum(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, priority, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM runsum
+WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+"""
+
+
+register_sql("token_budget_sample", _token_budget_sample, tables=[])

@@ -121,3 +121,31 @@ def test_new_joins_are_equi_hash(synth, spark, sf_dir):
     # only nested-loop and must be on the broadcast side
     assert any(j in ivf for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
     assert "CartesianProduct" not in ivf
+
+
+def test_bucketed_join_avoids_shuffle(synth, spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing (SURVEY §4): two tables bucketBy the
+    join key join WITHOUT an exchange on either side — the plan the big
+    fact-fact joins want at 100 TB (pre-shuffled once at write time)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    a, b = f"bk_scenes_{tag}", f"bk_stats_{tag}"
+    scenes = spark.sql("SELECT scene_id, width, height, bands FROM scenes")
+    stats = spark.sql("SELECT scene_id, xmin, ymax FROM scenes")
+    for name, df in ((a, scenes), (b, stats)):
+        df.write.bucketBy(8, "scene_id").sortBy("scene_id").mode("overwrite").saveAsTable(name)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(a).join(spark.table(b), "scene_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the join consumes bucketed scans directly: no Exchange anywhere
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == scenes.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
