@@ -63,3 +63,19 @@ def test_zero_scene_guard(synth, sf_dir, spark):
         spark, sf_dir, scene_pred=pred, transforms=["zero_out"], skip_zero_scenes=True
     ).count()
     assert zeroed == 0
+
+
+def test_labels_via_join_matches_broadcast(synth, spark, sf_dir):
+    """The non-broadcastable-labels fallback (cover-cell equi-join +
+    per-scene collect_list) must produce the identical chip table as the
+    broadcast path — the path a 100 TB label layer takes."""
+    from terrakit_spark.pipeline import chip_pipeline
+
+    pred = "(scene_id % 25) IN (15, 20)"
+    cols = ["scene_id", "win_index", "px_sum", "px_sumsq", "label_mass"]
+
+    def rows(via):
+        df = chip_pipeline(spark, sf_dir, scene_pred=pred, labels_via=via).select(*cols)
+        return sorted((r.scene_id, r.win_index, tuple(r.px_sum), tuple(r.px_sumsq), r.label_mass) for r in df.collect())
+
+    assert rows("broadcast") == rows("join")
