@@ -225,3 +225,39 @@ FROM (
 from terrakit_spark.registry import register_df  # noqa: E402
 
 register_df("quadkey_cells", _quadkey_query, oracle=_quadkey_oracle())
+
+
+def _bbox_clip_360(dialect: str) -> str:
+    """0-360 longitude-system bbox clip
+    (/root/reference/terrakit/general_utils/geospatial_util.py:568-626 +
+    tests/component_tests/general_utils/test_geospatial_util.py:15): scene
+    extents converted to the 0-360 system (negative lon + 360), clipped by
+    a query box given in the same system. The reference asserts
+    minx <= maxx after conversion — extents that straddle the wrap are
+    flagged instead of silently mangled."""
+    qx0, qy0, qx1, qy1 = "2.0e2", "-2.0e1", "3.0e2", "4.0e1"
+    x0 = "CASE WHEN xmin < 0 THEN xmin + 360 ELSE xmin END"
+    x1 = "CASE WHEN xmax < 0 THEN xmax + 360 ELSE xmax END"
+    return f"""
+SELECT scene_id, straddles,
+       CASE WHEN NOT straddles AND cx0 <= {qx1} AND cx1 >= {qx0}
+             AND ymin <= {qy1} AND ymax >= {qy0}
+            THEN round(greatest(cx0, {qx0}), 6) END AS clip_xmin,
+       CASE WHEN NOT straddles AND cx0 <= {qx1} AND cx1 >= {qx0}
+             AND ymin <= {qy1} AND ymax >= {qy0}
+            THEN round(least(cx1, {qx1}), 6) END AS clip_xmax,
+       CASE WHEN NOT straddles AND cx0 <= {qx1} AND cx1 >= {qx0}
+             AND ymin <= {qy1} AND ymax >= {qy0}
+            THEN round(greatest(ymin, {qy0}), 6) END AS clip_ymin,
+       CASE WHEN NOT straddles AND cx0 <= {qx1} AND cx1 >= {qx0}
+             AND ymin <= {qy1} AND ymax >= {qy0}
+            THEN round(least(ymax, {qy1}), 6) END AS clip_ymax
+FROM (
+  SELECT scene_id, ymin, ymax, {x0} AS cx0, {x1} AS cx1,
+         ({x0}) > ({x1}) AS straddles
+  FROM scenes
+) _c
+"""
+
+
+register_sql("bbox_clip_360", _bbox_clip_360, tables=["scenes"])
