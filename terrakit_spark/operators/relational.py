@@ -61,3 +61,27 @@ GROUP BY r.r_name, n.n_name
 register_sql("pricing_summary", _pricing_summary, tables=[])
 register_sql("top_orders_window", _top_orders, tables=[])
 register_sql("region_rollup", _region_rollup, tables=[])
+
+
+def _sessionize_events(dialect: str) -> str:
+    """§2.9 sessionization as a driver-checked query: classic
+    gaps-and-islands (30-minute inactivity gap) over the events feed — the
+    batch twin of streaming/incremental.py::sessionize_stream, same shape
+    both dialects."""
+    return """
+SELECT min(ts) AS session_start, user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM events) _m) _s
+GROUP BY user_id, session_id
+"""
+
+
+register_sql("sessionize_events", _sessionize_events, tables=[])
