@@ -61,16 +61,17 @@ def geotiff_bytes(
     strip_offsets = [data_off + i * plane_bytes for i in range(nb)]
     ifd_off = data_off + nb * plane_bytes
 
-    # external value payloads live after the IFD; collect (bytes, patch_fn)
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, value4 or b"" placeholder)
-    external: list[bytes] = []
+    # external value payloads live after the IFD
+    # entry: (tag, type, count, inline4 bytes or None, external bytes or None)
+    entries: list[tuple[int, int, int, bytes | None, bytes | None]] = []
 
     def _val4(fmt: str, *vals) -> bytes:
         return struct.pack("<" + fmt, *vals).ljust(4, b"\x00")
 
     def _entry(tag: int, typ: int, count: int, inline4: bytes | None, ext: bytes | None = None):
-        entries.append((tag, typ, count, inline4 if inline4 is not None else b"EXT!"))
-        external.append(ext if ext is not None else b"")
+        # explicit inline-vs-external flag (a sentinel byte pattern could
+        # collide with a legitimate 4-byte value, e.g. a large strip offset)
+        entries.append((tag, typ, count, inline4, ext))
 
     sizes = {_SHORT: 2, _LONG: 4, _ASCII: 1, _DOUBLE: 8}
 
@@ -109,13 +110,13 @@ def geotiff_bytes(
     if nodata_s is not None:
         _arr_entry(42113, _ASCII, None, as_bytes=nodata_s.encode())
 
-    entries_sorted = sorted(zip(entries, external), key=lambda e: e[0][0])
+    entries_sorted = sorted(entries, key=lambda e: e[0])
     n = len(entries_sorted)
     ext_off = ifd_off + 2 + n * 12 + 4
     ifd = struct.pack("<H", n)
     ext_blob = b""
-    for (tag, typ, count, inline4), ext in entries_sorted:
-        if inline4 == b"EXT!":
+    for tag, typ, count, inline4, ext in entries_sorted:
+        if inline4 is None:
             ifd += struct.pack("<HHI", tag, typ, count) + struct.pack("<I", ext_off + len(ext_blob))
             pad = ext + (b"\x00" if len(ext) % 2 else b"")
             ext_blob += pad
