@@ -26,24 +26,38 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 
 
 def _shingles_cte(d: D) -> str:
-    """Distinct 3-gram token shingles per doc, hashed to int64."""
+    """Distinct 3-gram token shingles per doc, hashed to int64.
+
+    Tokens are rolling-hashed ONCE each, then shingle hashes combine three
+    token hashes ((th_j*A + th_{{j+1}}*B + th_{{j+2}}) mod M) — ~10x less
+    higher-order-function work than hashing every shingle's characters
+    (each character otherwise hashes three times, once per covering
+    shingle, and Spark HOFs don't codegen)."""
     toks = d.split_ws("text")
+    A, B = 1000003, 10007
     if d.d == SPARK:
+        th = f"transform({toks}, t -> {d.rolling_hash('t', MOD)})"
+        shingles = (
+            f"transform(sequence(0, size(th_a) - 3), "
+            f"j -> (th_a[j] * {A} + th_a[j + 1] * {B} + th_a[j + 2]) % {MOD})"
+        )
         explode = (
-            f"SELECT doc_id, explode(transform(sequence(1, {d.arr_len('toks_a')} - 2), "
-            f"i -> concat_ws(' ', slice(toks_a, i, 3)))) AS shingle "
-            f"FROM (SELECT doc_id, {toks} AS toks_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
+            f"SELECT doc_id, explode({shingles}) AS h "
+            f"FROM (SELECT doc_id, {th} AS th_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
         )
     else:
+        th = f"list_transform({toks}, t -> {d.rolling_hash('t', MOD)})"
+        shingles = (
+            f"list_transform(generate_series(1, len(th_a) - 2), "
+            f"j -> (th_a[j] * {A} + th_a[j + 1] * {B} + th_a[j + 2]) % {MOD})"
+        )
         explode = (
-            f"SELECT doc_id, unnest(list_transform(generate_series(1, {d.arr_len('toks_a')} - 2), "
-            f"i -> array_to_string(list_slice(toks_a, i, i + 2), ' '))) AS shingle "
-            f"FROM (SELECT doc_id, {toks} AS toks_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
+            f"SELECT doc_id, unnest({shingles}) AS h "
+            f"FROM (SELECT doc_id, {th} AS th_a FROM docs_aug WHERE {d.arr_len(toks)} >= 3) _t"
         )
     return f"""
 sh AS (
-  SELECT DISTINCT doc_id, {d.rolling_hash('shingle', MOD)} AS h
-  FROM ({explode}) _e
+  SELECT DISTINCT doc_id, h FROM ({explode}) _e
 )"""
 
 
