@@ -115,10 +115,23 @@ class SnapshotTable:
             schema=schema,
         )
         tmp = os.path.join(self.root, "_snapshots", f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.root, "_snapshots", f"{sid:012d}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest.__dict__, fh)
-        os.rename(tmp, final)
+        # Optimistic concurrency (Iceberg-style commit CAS): link() fails
+        # with EEXIST if another writer claimed this snapshot id — rename()
+        # would silently CLOBBER the winner's manifest and orphan its data.
+        # On conflict, retry with the next id (same data dir, new manifest).
+        while True:
+            final = os.path.join(self.root, "_snapshots", f"{manifest.snapshot_id:012d}.json")
+            try:
+                os.link(tmp, final)
+                break
+            except FileExistsError:
+                manifest.snapshot_id = self.next_snapshot_id()
+                manifest.step_order = len(self.snapshots())
+                with open(tmp, "w") as fh:
+                    json.dump(manifest.__dict__, fh)
+        os.unlink(tmp)
         return manifest
 
     # ------------------------------------------------------------ read

@@ -115,3 +115,31 @@ def test_schema_evolution_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="incompatible schema change"):
         t.commit(bad, step="s", partition_col="p")
     assert len(t.snapshots()) == 2
+
+
+def test_concurrent_commit_does_not_clobber(spark, tmp_path):
+    """If another writer claims the same snapshot id between our id pick
+    and the manifest publish, the commit must NOT overwrite that manifest
+    (which would orphan the winner's data) — it retries with the next id."""
+    import json
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(3).withColumn("p", F.lit("a")), step="s", partition_col="p")
+    # simulate a racing writer that already published snapshot id 1
+    racer = os.path.join(str(tmp_path / "tbl"), "_snapshots", f"{1:012d}.json")
+    racer_dir = os.path.join(str(tmp_path / "tbl"), "data", "snap=1-racer")
+    spark.range(7).withColumn("p", F.lit("r")).write.parquet(racer_dir)
+    with open(racer, "w") as fh:
+        json.dump(
+            dict(
+                snapshot_id=1, step="racer", step_order=1, committed_at=0.0,
+                n_rows=7, partition_col="p", partition_rows={"r": 7},
+                data_dir=racer_dir, schema={"id": "bigint", "p": "string"},
+            ),
+            fh,
+        )
+    s = t.commit(spark.range(5).withColumn("p", F.lit("b")), step="s", partition_col="p")
+    assert s.snapshot_id == 2  # bumped past the racer, nothing clobbered
+    snaps = {sn.snapshot_id: sn.step for sn in t.snapshots()}
+    assert snaps == {0: "s", 1: "racer", 2: "s"}
+    assert t.read(spark).count() == 3 + 7 + 5
