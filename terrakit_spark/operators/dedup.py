@@ -239,6 +239,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_connected_components(spark: SparkSession, edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Alternating large-star / small-star connected components (the
+    published two-phase star algorithm; converges in O(log n) rounds even
+    on adversarial long chains, where plain hash-min propagation needs
+    O(diameter) rounds). edges(d1, d2) -> (doc_id, cluster_id).
+
+    Each round is two shuffle stages over the edge list:
+      large-star: for every node u, neighbours v > u re-attach to
+                  m(u) = min(N(u) + {u});
+      small-star: neighbours v <= u re-attach to m(u).
+    Edges stabilize as stars around component minima; labels read off as
+    each node's min neighbour."""
+    def _sym(d: DataFrame) -> DataFrame:
+        return (
+            d.unionByName(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    e = _sym(edges.selectExpr("d1 AS a", "d2 AS b")).localCheckpoint(eager=True)
+
+    def _large(e_sym: DataFrame) -> DataFrame:
+        # reduce at every node over its full neighbourhood; strictly larger
+        # neighbours re-attach to the local minimum
+        m = e_sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        return (
+            e_sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+
+    def _small(e_dir: DataFrame) -> DataFrame:
+        # reduce at the LARGER endpoint over its smaller neighbours; the
+        # node itself AND each smaller neighbour attach to their minimum
+        d = e_dir.filter(F.col("b") < F.col("a"))
+        m = d.groupBy("a").agg(F.min("b").alias("m"))
+        att_n = d.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+        att_u = m.select("a", F.col("m").alias("b"))
+        return att_n.unionByName(att_u)
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _sym(_large(e))
+        e = _sym(_small(e)).localCheckpoint(eager=True)
+        sig = tuple(e.agg(F.count("*"), F.sum(F.col("a") + F.col("b"))).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = e.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("lbl"))
+    return labels.select(
+        F.col("a").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("a") == F.col("lbl")).alias("is_keeper"),
+    )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters via the star algorithm — same output contract."""
+    ensure_base_views(spark, sf_dir)
+    edges = spark.sql(with_synth(SPARK, _cluster_edges(SPARK), tables=["docs_aug"]))
+    return star_connected_components(spark, edges)
+
+
 def _dedup_clusters_oracle() -> str:
     """DuckDB transitive closure via recursive CTE (WITH RECURSIVE has to be
     the leading keyword, so the synth CTEs are inlined here rather than

@@ -103,3 +103,21 @@ def test_impute_properties(seed, h, w):
     assert (out[~holes] == band[~holes]).all()
     # filled values come from the original value set
     assert np.isin(out[holes], band[~holes]).all()
+
+
+def test_star_cc_matches_hashmin_and_handles_chains(synth, spark, sf_dir):
+    """The O(log n) large-star/small-star CC must agree with the hash-min
+    path on the real dedup graph, and collapse an adversarial 64-node path
+    graph (diameter 63) where hash-min would need 63 rounds."""
+    from terrakit_spark.operators.dedup import dedup_clusters, dedup_clusters_star, star_connected_components
+
+    a = sorted(tuple(r) for r in dedup_clusters(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in dedup_clusters_star(spark, sf_dir).collect())
+    assert a == b and a
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "d1 long, d2 long")
+    out = star_connected_components(spark, chain, max_rounds=10)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert {r.cluster_id for r in rows} == {0}
+    assert sum(r.is_keeper for r in rows) == 1
