@@ -202,9 +202,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable min aggregate, no Python in the loop body; the
     label table is localCheckpoint'ed per round to cut lineage. Convergence
     is detected by the (monotonically decreasing) sum of labels. At 10^12
-    docs the same loop body applies; for adversarial long-chain graphs
-    switch the propagation to large-star/small-star (alternating) which
-    converges in O(log n) rounds on the identical join shape."""
+    docs the same loop body applies; for adversarial long-chain graphs use
+    star_connected_components below (alternating large-star/small-star,
+    O(log n) rounds, parity-tested against this path)."""
     ensure_base_views(spark, sf_dir)
     edges = spark.sql(with_synth(SPARK, _cluster_edges(SPARK), tables=["docs_aug"]))
     sym = (
