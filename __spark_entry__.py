@@ -28,9 +28,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+# Queries the driver's CORRECTNESS pass has never (or not recently) verified
+# go FIRST, so a capped driver run reaches them before re-verifying the
+# long-green rest (round-2 verdict item 3).
+_PRIORITY = [
+    "corpus_curation",
+    "repetition_signals",
+    "rest_point_forecast",
+    "token_budget_sample",
+    "vrt_window_stats",
+    "dedup_clusters_star",
+    "embedding_near_dup",
+    "minhash_lsh_128",
+    "shp_roundtrip",
+    "curvilinear_clip",
+    "bbox_tile_grid",
+    "chip_inventory",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "window_grid",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

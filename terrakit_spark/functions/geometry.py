@@ -46,12 +46,13 @@ def ray_cast(px: np.ndarray, py: np.ndarray, polys: np.ndarray) -> np.ndarray:
         # division-free crossing test: px < (xj-xi)(py-yi)/(yj-yi) + xi
         # <=> sign-adjusted cross-multiplication (cond already excludes
         # yj == yi). ~2.5x faster than the divide + where form on the
-        # hotspot burn path; points exactly ON an edge line are excluded
-        # by the synthetic-layer epsilon offsets either way.
+        # hotspot burn path. Strict comparison in BOTH edge directions so a
+        # point exactly on the edge line (lhs == rhs) never counts as a
+        # crossing, matching the divide form's strict `px < xcross`.
         dy = yj - yi
         lhs = (px - xi) * dy
         rhs = (xj - xi) * (py - yi)
-        inside ^= cond & ((lhs < rhs) == (dy > 0))
+        inside ^= cond & (((lhs < rhs) & (dy > 0)) | ((lhs > rhs) & (dy < 0)))
         xj, yj = xi, yi
     return inside
 

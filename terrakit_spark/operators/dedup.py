@@ -77,17 +77,29 @@ HAVING count(*) > 1
 """
 
 
-def _minhash_lsh(dialect: str) -> str:
-    """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate generation,
-    verified with exact shingle-set Jaccard."""
+def _minhash_lsh_cfg(dialect: str, num_hashes: int, band_rows: int) -> str:
+    """MinHash + LSH candidate generation, verified with exact shingle-set
+    Jaccard. Signature size is a PARAMETER (round-2 verdict item 5): the
+    8-hash default is toy-sized for production 0.8-Jaccard dedup (safe here
+    only because every candidate is exact-verified); minhash_lsh_128 runs
+    the 128-hash / 16-band x 8-row configuration a real corpus needs.
+
+    Band signature = sum over the band's rows of mh * w_r with per-row
+    weights w_r = ((r * 2654435761) % 1048573) + 1; mh < 1e9+7 and
+    w_r <= 2^20 keep the sum < 2^54 for up to 256 rows/band — no int64
+    overflow (Spark would wrap silently while DuckDB errors, so staying
+    well inside the safe range is what keeps the two engines identical).
+    Signature collisions are possible but deterministic and identical in
+    both engines, and candidates are exact-verified afterwards."""
     d = D(dialect)
     a_k = f"(131 + 2 * k)"
     b_k = f"(1000 + 37 * k)"
     if dialect == SPARK:
-        hk = f"SELECT doc_id, h, k FROM sh LATERAL VIEW explode(sequence(0, {NUM_HASHES - 1})) _k AS k"
+        hk = f"SELECT doc_id, h, k FROM sh LATERAL VIEW explode(sequence(0, {num_hashes - 1})) _k AS k"
     else:
-        hk = f"SELECT doc_id, h, unnest(generate_series(0, {NUM_HASHES - 1})) AS k FROM sh"
-    band = d.idiv("k", str(BAND_ROWS))
+        hk = f"SELECT doc_id, h, unnest(generate_series(0, {num_hashes - 1})) AS k FROM sh"
+    band = d.idiv("k", str(band_rows))
+    w_r = f"((k % {band_rows}) * 2654435761) % 1048573 + 1"
     return f"""
 WITH {_shingles_cte(d)},
 mh AS (
@@ -96,7 +108,7 @@ mh AS (
 ),
 buckets AS (
   SELECT doc_id, {band} AS band,
-         CAST(sum(mh * CASE WHEN k % {BAND_ROWS} = 0 THEN 1000000009 ELSE 1 END) AS BIGINT) AS sig
+         CAST(sum(mh * ({w_r})) AS BIGINT) AS sig
   FROM mh GROUP BY doc_id, {band}
 ),
 cand AS (
@@ -119,6 +131,16 @@ JOIN sizes z1 ON z1.doc_id = i.d1
 JOIN sizes z2 ON z2.doc_id = i.d2
 WHERE i.n_inter / (z1.n + z2.n - i.n_inter) >= 2.0e-1
 """
+
+
+def _minhash_lsh(dialect: str) -> str:
+    """Default configuration: 8 hashes, 4 bands x 2 rows."""
+    return _minhash_lsh_cfg(dialect, NUM_HASHES, BAND_ROWS)
+
+
+def _minhash_lsh_128(dialect: str) -> str:
+    """Production-sized signature: 128 hashes, 16 bands x 8 rows."""
+    return _minhash_lsh_cfg(dialect, 128, 8)
 
 
 def _ngram_jaccard(dialect: str) -> str:
@@ -232,6 +254,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            "dedup_clusters: hash-min propagation hit the 64-round cap without "
+            "converging (graph diameter > 64) — returning partial labels would "
+            "be silently wrong; use star_connected_components (O(log n) rounds)"
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
@@ -287,6 +315,12 @@ def star_connected_components(spark: SparkSession, edges: DataFrame, max_rounds:
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star_connected_components: no convergence within {max_rounds} "
+            "rounds (needs ~log2(n)) — raise max_rounds rather than trusting "
+            "partial cluster labels"
+        )
     labels = e.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("lbl"))
     return labels.select(
         F.col("a").alias("doc_id"),
@@ -404,7 +438,10 @@ WHERE {ham} <= {HAM_MAX}
 
 register_sql("dedup_exact", _dedup_exact, tables=["docs_aug"])
 register_sql("minhash_lsh_pairs", _minhash_lsh, tables=["docs_aug"])
+register_sql("minhash_lsh_128", _minhash_lsh_128, tables=["docs_aug"])
 register_sql("ngram_jaccard_pairs", _ngram_jaccard, tables=["docs_aug"])
 register_sql("simhash_table", _simhash, tables=["docs_aug"])
 register_sql("simhash_near_dup", _simhash_near_dup, tables=["docs_aug"])
 register_df("dedup_clusters", dedup_clusters, oracle=_dedup_clusters_oracle())
+# the O(log n) scale path, oracle-pinned to the same transitive closure
+register_df("dedup_clusters_star", dedup_clusters_star, oracle=_dedup_clusters_oracle())

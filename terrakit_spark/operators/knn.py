@@ -29,6 +29,7 @@ from terrakit_spark.registry import register_df, with_synth
 
 K = 5
 SCHEDULE = [(0.0625, 2), (1.0, 3)]
+BOUND_BUCKETS = 64  # bound-pass aggregate state per query (must be >= K)
 
 
 def _dist2(mx, my, cx, cy):
@@ -120,25 +121,32 @@ def broadcast_knn(
     """Exact kNN for a broadcastable candidate side (the label layer is the
     small dimension), skew-proof by construction:
 
-    1. bound pass: each query scans a deterministic 1/sample_mod candidate
-       sample (broadcast, codegen cross join) and takes its kth-smallest
-       sample distance as upper bound b — valid because the sample's top-k
-       all lie within b, so the true top-k do too.
+    1. bound pass (BOUNDED memory): each query scans a deterministic
+       1/sample_mod candidate sample (broadcast, codegen cross join); the
+       sample is hashed into BOUND_BUCKETS buckets, a combinable min(dist2)
+       is taken per (query, bucket), and the kth-smallest of those ≤
+       BOUND_BUCKETS bucket-minima is the upper bound b. Valid because each
+       bucket-min is a DISTINCT real candidate's distance, so at least k
+       candidates sit within b. Aggregate state is ≤ BOUND_BUCKETS doubles
+       per query — not the O(N/sample_mod) collect_list of every sample
+       distance the round-2 version built.
     2. final pass: one broadcast cross join filtered by dist2 <= b BEFORE
        the ranking window, so the window sorts only ~k..few-hundred
        survivors per query instead of every candidate in ring range. All
        distance math stays inside whole-stage codegen; no Python.
 
-    Queries whose sample yields < k candidates get b = inf (exact brute).
+    Queries with fewer than k non-empty buckets get b = inf (exact brute).
     For a candidate side too large to broadcast, use grid_knn (cell-ring
     shuffle path)."""
     sample = candidates.filter((F.col("label_id") % sample_mod) == 0)
     d2 = _dist2(F.col("mx"), F.col("my"), F.col("cx"), F.col("cy"))
     bounds = (
         queries.crossJoin(F.broadcast(sample))
-        .select("qid", d2.alias("dist2"))
+        .select("qid", F.pmod(F.col("label_id"), F.lit(BOUND_BUCKETS)).alias("_bk"), d2.alias("dist2"))
+        .groupBy("qid", "_bk")
+        .agg(F.min("dist2").alias("_bmin"))
         .groupBy("qid")
-        .agg(F.sort_array(F.collect_list("dist2")).alias("_ds"))
+        .agg(F.sort_array(F.collect_list("_bmin")).alias("_ds"))
         .select(
             "qid",
             F.when(F.size("_ds") >= k, F.col("_ds")[k - 1]).otherwise(F.lit(float("inf"))).alias("b2"),

@@ -67,21 +67,25 @@ register_sql("ann_topk_quantized", _ann_topk, tables=[])
 def _embedding_near_dup(dialect: str) -> str:
     """Embedding-cosine near-duplicate pairs: all pairs with quantized
     cosine >= 0.45 over a deterministic subset (brute verify path; at scale
-    the LSH buckets generate the candidates). Same exact-integer dot."""
+    the LSH buckets generate the candidates). Same exact-integer dot.
+
+    Runs over emb_aug (embeddings + planted perturbed copies at cosine
+    ≈ 0.99), so the threshold branch provably fires: every planted pair
+    (v, v + 1e7) with v % 20 = 0 sits inside the % 10 subset."""
     d = D(dialect)
     return f"""
 SELECT d1, d2, round(cos_sim, 6) AS cos_sim FROM (
   SELECT a.vec_id AS d1, b.vec_id AS d2,
          CAST({_dot(d, 'a.qe', 'b.qe')} AS DOUBLE)
            / sqrt(CAST({_dot(d, 'a.qe', 'a.qe')} AS DOUBLE) * CAST({_dot(d, 'b.qe', 'b.qe')} AS DOUBLE)) AS cos_sim
-  FROM (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM embeddings WHERE (vec_id % 10) = 0) a
-  JOIN (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM embeddings WHERE (vec_id % 10) = 0) b
+  FROM (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM emb_aug WHERE (vec_id % 10) = 0) a
+  JOIN (SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM emb_aug WHERE (vec_id % 10) = 0) b
     ON b.vec_id > a.vec_id
 ) t WHERE cos_sim >= 4.5e-1
 """
 
 
-register_sql("embedding_near_dup", _embedding_near_dup, tables=[])
+register_sql("embedding_near_dup", _embedding_near_dup, tables=["emb_aug"])
 
 
 N_PLANES = 8
@@ -89,9 +93,14 @@ L_TABLES = 3  # independent hash tables; candidates = union over tables
 MAX_BUCKET = 256  # deterministic per-(table, bucket) candidate cap
 
 
-def _lsh_body(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
-    """Multi-table random-hyperplane LSH ANN, fully SQL (dual-dialect, so
-    the DuckDB oracle replicates bucket assignment, capping, and ranking
+def _lsh_ctes(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
+    """Shared CTE prefix (nn → planes → proj → bks → capped) composed by
+    BOTH _lsh_body and lsh_buckets — factored so a CTE rename/reorder can't
+    silently break one of them (they used to be spliced by string-slicing
+    the generated SQL).
+
+    Multi-table random-hyperplane LSH, fully SQL (dual-dialect, so the
+    DuckDB oracle replicates bucket assignment, capping, and ranking
     exactly — the op is approximate vs brute force but DETERMINISTIC).
 
     Scale design (the round-1 single-table 256-bucket ceiling fix):
@@ -147,7 +156,14 @@ capped AS (
            row_number() OVER (PARTITION BY t, bucket
                               ORDER BY (vec_id * 40503) % 65521, vec_id) AS rn
     FROM bks) _c WHERE rn <= {max_bucket}
-),
+)"""
+
+
+def _lsh_body(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
+    """Capped multi-table LSH top-k: candidates = union of the query's
+    buckets across tables, scored exactly, ranked per query."""
+    d = D(dialect)
+    return f"""{_lsh_ctes(dialect, max_bucket)},
 cand AS (
   SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
   FROM (SELECT * FROM bks WHERE {QUERY_PRED}) q
@@ -177,22 +193,29 @@ def _ann_lsh(dialect: str) -> str:
 register_sql("ann_lsh_bucketed", _ann_lsh, tables=[])
 
 
-IVF_CENT_MOD = 29  # deterministic coarse quantizer: every 29th vector
+IVF_CENT_MOD = 29  # deterministic sampler stride for codebook slots
+IVF_CODEBOOK = 1024  # FIXED codebook capacity — independent of corpus size
 IVF_NPROBE = 3
 
 
 def _ann_ivf(dialect: str) -> str:
-    """IVF ANN (the second scale path next to LSH): a fixed coarse
-    quantizer — every IVF_CENT_MOD-th vector acts as a centroid (at 10^12
-    scale: a k-means codebook of fixed size, same plan shape) — assigns
-    every vector to its nearest centroid by exact integer-quantized cosine;
-    a query probes its IVF_NPROBE nearest centroids and scores only their
-    inverted lists. Everything is deterministic, so the DuckDB oracle
-    replicates assignment, probing, and ranking exactly.
+    """IVF ANN (the second scale path next to LSH): a FIXED-SIZE coarse
+    quantizer — the codebook is the ≤IVF_CODEBOOK vectors with
+    vec_id % IVF_CENT_MOD = 0 AND vec_id < IVF_CENT_MOD * IVF_CODEBOOK
+    (a deterministic sample standing in for a trained k-means codebook;
+    same plan shape). Every vector is assigned to its nearest centroid by
+    exact integer-quantized cosine; a query probes its IVF_NPROBE nearest
+    centroids and scores only their inverted lists. Everything is
+    deterministic, so the DuckDB oracle replicates assignment, probing,
+    and ranking exactly.
 
-    Scale shape: assignment is one broadcast join against the fixed
-    codebook (linear); the probe join keys on centroid id (equi-join,
-    inverted lists ~ n/C rows each, AQE skew-splits hot lists)."""
+    Complexity: centroid count C = min(ceil(n / IVF_CENT_MOD),
+    IVF_CODEBOOK) is CONSTANT once n ≥ IVF_CENT_MOD·IVF_CODEBOOK (~30k),
+    so assignment is an O(n·C) broadcast nested-loop against a ≤1024-row
+    side (the previous n/29-centroid quantizer made it O(n²/29) — the
+    scale-killer fixed this round). The probe join keys on centroid id
+    (equi-join, inverted lists ~ n/C rows each, AQE skew-splits hot
+    lists)."""
     d = D(dialect)
     quant = _quant(d, "embedding")
     cos = (
@@ -214,7 +237,8 @@ WITH nn AS (
     FROM (SELECT vec_id, {quant} AS qe FROM embeddings) _e
   ) _n WHERE norm2 > 0
 ),
-cent AS (SELECT vec_id AS cent_id, qe, norm2 FROM nn WHERE vec_id % {IVF_CENT_MOD} = 0),
+cent AS (SELECT vec_id AS cent_id, qe, norm2 FROM nn
+         WHERE vec_id % {IVF_CENT_MOD} = 0 AND vec_id < {IVF_CENT_MOD * IVF_CODEBOOK}),
 assigned AS (
   SELECT vec_id, cent_id FROM (
     SELECT v.vec_id, c.cent_id,
@@ -244,11 +268,10 @@ register_sql("ann_ivf", _ann_ivf, tables=[])
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, t, bucket) assignments — test/introspection helper."""
+    """(vec_id, t, bucket) assignments — test/introspection helper,
+    composed from the same _lsh_ctes prefix the operator runs."""
     ensure_base_views(spark, sf_dir)
-    body = _lsh_body(SPARK)
-    prefix = body.split("capped AS")[0].rstrip().rstrip(",")
-    return spark.sql(prefix + "\nSELECT vec_id, t, bucket FROM bks")
+    return spark.sql(_lsh_ctes(SPARK) + "\nSELECT vec_id, t, bucket FROM bks")
 
 
 def ann_lsh_capped(spark: SparkSession, sf_dir: str, max_bucket: int) -> DataFrame:

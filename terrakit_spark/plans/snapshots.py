@@ -143,19 +143,28 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*dirs)
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
         """Iceberg-maintenance analogue (remove_orphan_files): delete data
         dirs no manifest references — the leftovers of crashed writers.
-        Safe by construction: the commit point is the manifest rename, so
-        an unreferenced dir can never be (or become) visible."""
+
+        An unreferenced dir is only *proven* orphaned for a writer that has
+        already died: a LIVE writer may have finished its data write but not
+        yet linked its manifest (the exact window the link-CAS commit
+        supports). Like Iceberg's ``older_than`` default, dirs whose mtime
+        is within ``grace_seconds`` are therefore skipped — only dirs old
+        enough that no in-flight commit can still claim them are removed.
+        Pass ``grace_seconds=0`` only when no writer can be live (tests,
+        single-writer offline maintenance)."""
         import shutil
 
         referenced = {os.path.basename(s.data_dir) for s in self.snapshots()}
+        cutoff = time.time() - grace_seconds
         removed = []
         ddir = os.path.join(self.root, "data")
         for name in sorted(os.listdir(ddir)):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(ddir, name))
+            path = os.path.join(ddir, name)
+            if name not in referenced and os.path.getmtime(path) <= cutoff:
+                shutil.rmtree(path)
                 removed.append(name)
         return removed
 

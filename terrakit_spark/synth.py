@@ -205,12 +205,43 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+def emb_aug_sql(dialect: str) -> str:
+    """Embeddings augmented with deterministic planted NEAR-DUPLICATE
+    vectors (the emb_aug analogue of docs_aug): every 20th vector gets a
+    perturbed copy at vec_id + 1e7 — element i shifted by
+    ((vec_id*3 + i) % 5 - 2)/64 (exact binary offsets, so double math is
+    bit-identical in both engines). Perturbation keeps cosine ≈ 0.99
+    against the original, so threshold operators (embedding_near_dup)
+    actually exercise their >= branch instead of passing vacuously.
+    vec_id + 1e7 preserves vec_id % 10, keeping planted pairs inside the
+    deterministic query subsets."""
+    if dialect == SPARK:
+        base = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        pert = (
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+            " + ((vec_id * 3 + i) % 5 - 2) * 1.5625e-2)"
+        )
+    else:
+        base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        pert = (
+            "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)"
+            " + ((vec_id * 3 + (i - 1)) % 5 - 2) * 1.5625e-2)"
+        )
+    return f"""
+SELECT vec_id, {base} AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000000 AS vec_id, {pert} AS embedding
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 ALL_TABLES = {
     "labels": labels_sql,
     "scenes": scenes_sql,
     "media": media_sql,
     "spans": spans_sql,
     "docs_aug": docs_aug_sql,
+    "emb_aug": emb_aug_sql,
 }
 
 

@@ -55,11 +55,15 @@ def test_remove_orphans(spark, tmp_path):
     t.commit(spark.range(5).withColumn("p", F.lit("a")), step="s", partition_col="p")
     orphan = os.path.join(str(tmp_path / "tbl"), "data", "snap=1-deadbeef")
     spark.range(100).write.parquet(orphan)
-    removed = t.remove_orphans()
+    # a fresh orphan could belong to a live writer mid-commit: the default
+    # grace window must protect it
+    assert t.remove_orphans() == []
+    assert os.path.exists(orphan)
+    removed = t.remove_orphans(grace_seconds=0)
     assert removed == ["snap=1-deadbeef"]
     assert not os.path.exists(orphan)
     assert t.read(spark).count() == 5  # committed data untouched
-    assert t.remove_orphans() == []  # idempotent
+    assert t.remove_orphans(grace_seconds=0) == []  # idempotent
 
 
 def test_resume_skips_committed_partitions(spark, tmp_path):
