@@ -34,9 +34,11 @@ def _table(working_dir: str, name: str) -> SnapshotTable:
     return SnapshotTable(os.path.join(working_dir, name))
 
 
-def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
+def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str, write_shp: bool = False) -> dict:
     """labels stage: load label layer + per-date grouped bboxes
-    (transform/labels.py:477-591)."""
+    (transform/labels.py:477-591). write_shp additionally materializes the
+    layer as ESRI Shapefiles (the reference's `*_labels.shp` save,
+    transform/labels.py:360) via the distributed pure-struct codec."""
     _register_views(spark, sf_dir)
     labels = spark.sql(
         """
@@ -46,6 +48,10 @@ def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
         FROM labels
         """
     )
+    if write_shp:
+        from terrakit_spark.sinks.shapefile import write_labels_shp
+
+        write_labels_shp(labels, os.path.join(working_dir, "shp"))
     bboxes = spark.sql(
         """
         SELECT dc.datetime, dc.labelclass, env.xmin, env.ymin, env.xmax, env.ymax
@@ -177,6 +183,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--date-start", default="2024-01-01")
     p.add_argument("--date-end", default="2024-12-31")
     p.add_argument("--write-tifs", action="store_true")
+    p.add_argument("--write-shp", action="store_true")
     p.add_argument("--master", default=None)
     pre, _ = p.parse_known_args(argv)
     if pre.config:
@@ -205,6 +212,8 @@ def main(argv: list[str] | None = None) -> None:
             return stage_chip(spark, args.sf_dir, args.working_dir, args.scene_pred, transforms)
         if stage == "store":
             return stage_store(spark, args.sf_dir, args.working_dir, write_tifs=args.write_tifs)
+        if stage == "labels":
+            return stage_labels(spark, args.sf_dir, args.working_dir, write_shp=args.write_shp)
         return STAGES[stage](spark, args.sf_dir, args.working_dir)
 
     stages = [*STAGES] if args.stage == "pipeline" else [args.stage]

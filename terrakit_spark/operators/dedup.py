@@ -77,6 +77,35 @@ HAVING count(*) > 1
 """
 
 
+def _minhash_cand_ctes(d: D, num_hashes: int, band_rows: int) -> str:
+    """Shared CTE chain sh -> mh -> buckets -> cand, composed by the full
+    verified operator AND the candidate-stage introspection helper (the
+    precision/recall study) — factored, not string-sliced."""
+    a_k = f"(131 + 2 * k)"
+    b_k = f"(1000 + 37 * k)"
+    if d.d == SPARK:
+        hk = f"SELECT doc_id, h, k FROM sh LATERAL VIEW explode(sequence(0, {num_hashes - 1})) _k AS k"
+    else:
+        hk = f"SELECT doc_id, h, unnest(generate_series(0, {num_hashes - 1})) AS k FROM sh"
+    band = d.idiv("k", str(band_rows))
+    w_r = f"((k % {band_rows}) * 2654435761) % 1048573 + 1"
+    return f"""{_shingles_cte(d)},
+mh AS (
+  SELECT doc_id, k, min(({a_k} * h + {b_k}) % {MOD}) AS mh
+  FROM ({hk}) _hk GROUP BY doc_id, k
+),
+buckets AS (
+  SELECT doc_id, {band} AS band,
+         CAST(sum(mh * ({w_r})) AS BIGINT) AS sig
+  FROM mh GROUP BY doc_id, {band}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+  FROM buckets b1 JOIN buckets b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+)"""
+
+
 def _minhash_lsh_cfg(dialect: str, num_hashes: int, band_rows: int) -> str:
     """MinHash + LSH candidate generation, verified with exact shingle-set
     Jaccard. Signature size is a PARAMETER (round-2 verdict item 5): the
@@ -92,30 +121,8 @@ def _minhash_lsh_cfg(dialect: str, num_hashes: int, band_rows: int) -> str:
     Signature collisions are possible but deterministic and identical in
     both engines, and candidates are exact-verified afterwards."""
     d = D(dialect)
-    a_k = f"(131 + 2 * k)"
-    b_k = f"(1000 + 37 * k)"
-    if dialect == SPARK:
-        hk = f"SELECT doc_id, h, k FROM sh LATERAL VIEW explode(sequence(0, {num_hashes - 1})) _k AS k"
-    else:
-        hk = f"SELECT doc_id, h, unnest(generate_series(0, {num_hashes - 1})) AS k FROM sh"
-    band = d.idiv("k", str(band_rows))
-    w_r = f"((k % {band_rows}) * 2654435761) % 1048573 + 1"
     return f"""
-WITH {_shingles_cte(d)},
-mh AS (
-  SELECT doc_id, k, min(({a_k} * h + {b_k}) % {MOD}) AS mh
-  FROM ({hk}) _hk GROUP BY doc_id, k
-),
-buckets AS (
-  SELECT doc_id, {band} AS band,
-         CAST(sum(mh * ({w_r})) AS BIGINT) AS sig
-  FROM mh GROUP BY doc_id, {band}
-),
-cand AS (
-  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
-  FROM buckets b1 JOIN buckets b2
-    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
-),
+WITH {_minhash_cand_ctes(d, num_hashes, band_rows)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.d1, c.d2, count(*) AS n_inter
@@ -434,6 +441,38 @@ JOIN sh60 s1 ON s1.doc_id = c.d1
 JOIN sh60 s2 ON s2.doc_id = c.d2
 WHERE {ham} <= {HAM_MAX}
 """
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str, num_hashes: int, band_rows: int) -> DataFrame:
+    """LSH candidate pairs BEFORE Jaccard verification — the introspection
+    surface of the signature-size study (precision = how much verify work a
+    configuration wastes)."""
+    ensure_base_views(spark, sf_dir)
+    body = f"WITH {_minhash_cand_ctes(D(SPARK), num_hashes, band_rows)}\nSELECT d1, d2 FROM cand"
+    return spark.sql(with_synth(SPARK, body, tables=["docs_aug"]))
+
+
+def true_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+    """Ground truth for the study: ALL pairs with exact shingle-set Jaccard
+    >= threshold (full all-pairs shingle equi-join — O(n^2)-ish, small-sf
+    only)."""
+    ensure_base_views(spark, sf_dir)
+    d = D(SPARK)
+    body = f"""
+WITH {_shingles_cte(d)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s2.h = s1.h AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT i.d1, i.d2, i.n_inter / (z1.n + z2.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE i.n_inter / (z1.n + z2.n - i.n_inter) >= {threshold}
+"""
+    return spark.sql(with_synth(SPARK, body, tables=["docs_aug"]))
 
 
 register_sql("dedup_exact", _dedup_exact, tables=["docs_aug"])

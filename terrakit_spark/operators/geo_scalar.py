@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from terrakit_spark.dialect import D
+from terrakit_spark.dialect import SPARK, D
 from terrakit_spark.registry import register_sql
 
 
@@ -261,3 +261,67 @@ FROM (
 
 
 register_sql("bbox_clip_360", _bbox_clip_360, tables=["scenes"])
+
+
+def _curvilinear_clip(dialect: str) -> str:
+    """F5 FULL — curvilinear-grid bbox clip over true 2-D coordinate
+    arrays, matching
+    /root/reference/terrakit/general_utils/geospatial_util.py:177-213:
+    per-pixel lon is normalized from the 0-360 system to [-180, 180)
+    (((lon+180) % 360) - 180; rendered as a CASE because every synthetic
+    lon_raw lies in [0, 360)), the bbox mask is evaluated on the 2-D
+    coordinate arrays, and `where(mask, drop=True)` semantics are
+    reproduced exactly: rows/cols where the mask is all-False are DROPPED
+    (including interior ones), surviving cells outside the mask become
+    NULL (xarray's NaN).
+
+    The synthetic curvilinear grid shears lon by y and lat by x with exact
+    dyadic coefficients, so all coordinate arithmetic is bit-identical in
+    Spark and DuckDB. Scale shape: pixel explosion is linear, the
+    keep-row/keep-col reduction is two map-side-combinable aggregates per
+    scene, and the final join keys on (scene, y)/(scene, x) — no
+    cross-scene shuffle."""
+    from terrakit_spark.synth import pixel_value_expr
+
+    small = "SELECT scene_id, width, height FROM scenes WHERE width * height <= 3072 AND scene_id % 15 = 0"
+    if dialect == SPARK:
+        grid = f"""
+  SELECT scene_id, width, y, x FROM ({small}) s
+  LATERAL VIEW explode(sequence(0, height - 1)) _gy AS y
+  LATERAL VIEW explode(sequence(0, width - 1)) _gx AS x"""
+    else:
+        grid = f"""
+  SELECT scene_id, width, y, unnest(generate_series(0, CAST(width - 1 AS BIGINT))) AS x
+  FROM (SELECT scene_id, width, height,
+               unnest(generate_series(0, CAST(height - 1 AS BIGINT))) AS y
+        FROM ({small}) s) _y"""
+    val = pixel_value_expr("scene_id", "0", "y", "x", "width")
+    keep1 = "sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0"
+    return f"""
+WITH grid AS ({grid}),
+pix AS (
+  SELECT scene_id, y, x,
+         CASE WHEN lon_raw >= 1.8e2 THEN lon_raw - 3.6e2 ELSE lon_raw END AS lon,
+         lat, val
+  FROM (SELECT scene_id, y, x,
+               1.4e2 + (scene_id % 9) * 2.0e1 + x * 2.5e-1 + (y % 7) * 3.125e-2 AS lon_raw,
+               -2.0e1 + (scene_id % 7) * 1.0e1 + y * 2.5e-1 + (x % 5) * 6.25e-2 AS lat,
+               CAST({val} AS DOUBLE) AS val
+        FROM grid) _r
+),
+m AS (
+  SELECT scene_id, y, x, lon, lat, val,
+         (lon >= -1.6e2 AND lon <= -1.35e2 AND lat >= -5.0e0 AND lat <= 2.5e1) AS keep
+  FROM pix
+),
+rows_keep AS (SELECT scene_id, y FROM m GROUP BY scene_id, y HAVING {keep1}),
+cols_keep AS (SELECT scene_id, x FROM m GROUP BY scene_id, x HAVING {keep1})
+SELECT m.scene_id, m.y, m.x, m.lon, m.lat,
+       CASE WHEN m.keep THEN m.val END AS value
+FROM m
+JOIN rows_keep r ON r.scene_id = m.scene_id AND r.y = m.y
+JOIN cols_keep c ON c.scene_id = m.scene_id AND c.x = m.x
+"""
+
+
+register_sql("curvilinear_clip", _curvilinear_clip, tables=["scenes"])

@@ -29,7 +29,12 @@ from terrakit_spark.registry import register_df, with_synth
 
 K = 5
 SCHEDULE = [(0.0625, 2), (1.0, 3)]
-BOUND_BUCKETS = 64  # bound-pass aggregate state per query (must be >= K)
+# Bound-pass aggregate state per query (must be >= K). Sized so the k
+# smallest sample distances land in distinct buckets with high probability
+# (collision prob ~ C(k,2)/B): at 512 the bucket-min bound measured
+# IDENTICAL to the exact sample-kth bound at sf0.1 (981,929 window
+# survivors both ways), at 4 KB of state per query instead of O(N/20).
+BOUND_BUCKETS = 512
 
 
 def _dist2(mx, my, cx, cy):

@@ -143,3 +143,78 @@ FROM labels
 from terrakit_spark.registry import register_df  # noqa: E402
 
 register_df("wkb_roundtrip", _wkb_roundtrip, oracle=_wkb_oracle())
+
+
+_SHP_FIELDS = [("label_id", "N", 12), ("datetime", "C", 10), ("labelclass", "N", 4), ("filename", "C", 64)]
+_SHP_SCHEMA = (
+    "label_id bigint, datetime string, labelclass int, filename string, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+
+def _shp_roundtrip_batches(batches):
+    import numpy as np
+    import pandas as pd
+
+    from terrakit_spark.sinks.shapefile import encode_dbf, encode_shp, read_shapefile_rows
+
+    cols = ["label_id", "datetime", "labelclass", "filename", "xmin", "ymin", "xmax", "ymax"]
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        polys = [[np.asarray(v, dtype=np.float64).reshape(-1, 2)] for v in pdf["verts"]]
+        rows = list(
+            zip(
+                (int(x) for x in pdf["label_id"]),
+                pdf["datetime"],
+                (int(x) for x in pdf["labelclass"]),
+                pdf["filename"],
+            )
+        )
+        shp, _shx = encode_shp(polys)
+        dbf = encode_dbf(_SHP_FIELDS, rows)
+        out = []
+        for flat, (lid, dt, cls, fn) in read_shapefile_rows(shp, dbf):
+            arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            out.append((lid, dt, cls, fn, arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def _shp_roundtrip(spark, sf_dir):
+    """S4 COMPLETE — full ESRI Shapefile container roundtrip: each Arrow
+    batch of label polygons + attributes is serialized to in-memory
+    .shp/.dbf payloads by the pure-struct codec
+    (terrakit_spark/sinks/shapefile.py; the reference's gpd.read_file /
+    gdf.to_file surface, /root/reference/terrakit/download/
+    download_data.py:185-217, /root/reference/terrakit/transform/
+    labels.py:97-131) and parsed back; the oracle computes the recovered
+    envelope + attributes in closed form, so any framing defect (record
+    headers, ring closure/orientation, dbf cell padding) breaks equality.
+    Distributed: mapInPandas, one shapefile per Arrow batch, no driver
+    involvement."""
+    from terrakit_spark.operators.spatial_join import _register_views
+
+    _register_views(spark, sf_dir)
+    src = spark.sql(
+        "SELECT label_id, datetime, labelclass, filename, "
+        "array(cx - rx, cy, cx, cy - ry, cx + rx, cy, cx, cy + ry) AS verts FROM labels"
+    )
+    return src.mapInPandas(_shp_roundtrip_batches, _SHP_SCHEMA)
+
+
+def _shp_oracle() -> str:
+    from terrakit_spark.dialect import DUCK
+    from terrakit_spark.registry import with_synth
+
+    return with_synth(
+        DUCK,
+        """
+SELECT label_id, datetime, labelclass, filename,
+       cx - rx AS xmin, cy - ry AS ymin, cx + rx AS xmax, cy + ry AS ymax
+FROM labels
+""",
+        tables=["labels"],
+    )
+
+
+register_df("shp_roundtrip", _shp_roundtrip, oracle=_shp_oracle())

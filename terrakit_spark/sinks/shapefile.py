@@ -1,0 +1,304 @@
+"""ESRI Shapefile codec (S4 completion) — pure-struct .shp/.shx/.dbf
+reader + writer, no GDAL/fiona required.
+
+The reference reads label layers from and saves them to ESRI Shapefiles via
+geopandas (/root/reference/terrakit/download/download_data.py:185-217 reads
+and validates the geometry+datetime schema;
+/root/reference/terrakit/transform/labels.py:97-131 saves, warn-not-
+overwrite). Round 2 covered only the geometry exchange (WKB columns); this
+module closes the container framing itself, implementing the PUBLIC "ESRI
+Shapefile Technical Description" (July 1998) layouts:
+
+- .shp: 100-byte header (file code 9994 BE, length in 16-bit words BE,
+  version 1000 LE, shape type LE, bbox doubles LE), then per record a
+  BE (record number, content words) header and a Polygon (type 5) body:
+  box, NumParts, NumPoints, parts index array, xy doubles. Exterior rings
+  are written CLOCKWISE and closed, per spec.
+- .shx: same 100-byte header shape, then (offset words, content words) BE
+  per record — the random-access index.
+- .dbf: dBASE III — version 0x03, record count, 32-byte field descriptors
+  ('C' text left-padded / 'N' numeric right-padded ASCII cells), 0x0D
+  terminator, records prefixed with a ' ' deletion flag, 0x1A EOF.
+
+Coordinates are IEEE doubles, so geometry roundtrips bit-exactly; numeric
+attrs roundtrip via ASCII integers. numpy packs every vertex array (no
+per-coordinate Python); the per-feature loop is the same scene/feature
+granularity as the GeoTIFF sink.
+
+The distributed surface mirrors the other codecs: ``write_shapefile``
+serializes one partition's features per file (foreachPartition-friendly),
+``read_shapefile_rows`` parses (shp, dbf) byte pairs inside mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date
+
+import numpy as np
+
+SHAPE_POLYGON = 5
+
+
+# --------------------------------------------------------------------- rings
+def _signed_area2(ring: np.ndarray) -> float:
+    """Twice the signed area (positive = counter-clockwise)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _close_cw(ring: np.ndarray) -> np.ndarray:
+    """Close the ring and orient it clockwise (spec: exterior rings CW)."""
+    if (ring[0] != ring[-1]).any():
+        ring = np.vstack([ring, ring[:1]])
+    if _signed_area2(ring) > 0:
+        ring = ring[::-1]
+    return ring
+
+
+# --------------------------------------------------------------------- .shp
+def encode_shp(polygons: list[list[np.ndarray]]) -> tuple[bytes, bytes]:
+    """polygons: one feature = list of rings, each ring (n, 2) float64
+    (open or closed). Returns (shp_bytes, shx_bytes)."""
+    records = []
+    shx_items = []
+    offset_words = 50  # header = 100 bytes
+    for num, rings in enumerate(polygons, start=1):
+        rings = [_close_cw(np.asarray(r, dtype=np.float64).reshape(-1, 2)) for r in rings]
+        pts = np.vstack(rings)
+        parts = np.cumsum([0] + [len(r) for r in rings[:-1]], dtype="<i4")
+        body = (
+            struct.pack("<i", SHAPE_POLYGON)
+            + struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+            + struct.pack("<2i", len(rings), len(pts))
+            + parts.astype("<i4").tobytes()
+            + pts.astype("<f8").tobytes()
+        )
+        content_words = len(body) // 2
+        records.append(struct.pack(">2i", num, content_words) + body)
+        shx_items.append(struct.pack(">2i", offset_words, content_words))
+        offset_words += 4 + content_words  # record header is 8 bytes
+
+    def header(total_words: int, bbox: tuple[float, float, float, float]) -> bytes:
+        return (
+            struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
+            + struct.pack("<2i", 1000, SHAPE_POLYGON)
+            + struct.pack("<4d", *bbox)
+            + struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+        )
+
+    if polygons:
+        allpts = np.vstack([np.asarray(r, dtype=np.float64).reshape(-1, 2) for f in polygons for r in f])
+        bbox = (allpts[:, 0].min(), allpts[:, 1].min(), allpts[:, 0].max(), allpts[:, 1].max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+    shp_body = b"".join(records)
+    shp = header(50 + len(shp_body) // 2, bbox) + shp_body
+    shx = header(50 + 4 * len(polygons), bbox) + b"".join(shx_items)
+    return shp, shx
+
+
+def decode_shp(buf: bytes) -> list[list[np.ndarray]]:
+    """shp bytes -> per-feature list of rings (closed, as stored)."""
+    (code,) = struct.unpack_from(">i", buf, 0)
+    (version, shp_type) = struct.unpack_from("<2i", buf, 28)
+    if code != 9994 or version != 1000:
+        raise ValueError(f"not a shapefile: {code=} {version=}")
+    if shp_type != SHAPE_POLYGON:
+        raise ValueError(f"unsupported shape type {shp_type}")
+    (total_words,) = struct.unpack_from(">i", buf, 24)
+    out = []
+    pos = 100
+    while pos < total_words * 2:
+        _num, content_words = struct.unpack_from(">2i", buf, pos)
+        pos += 8
+        (gtype,) = struct.unpack_from("<i", buf, pos)
+        if gtype != SHAPE_POLYGON:
+            raise ValueError(f"record is not a polygon: {gtype}")
+        nparts, npts = struct.unpack_from("<2i", buf, pos + 36)
+        parts = np.frombuffer(buf, dtype="<i4", count=nparts, offset=pos + 44)
+        pts = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=pos + 44 + 4 * nparts).reshape(-1, 2)
+        bounds = list(parts) + [npts]
+        out.append([pts[bounds[i] : bounds[i + 1]].copy() for i in range(nparts)])
+        pos += content_words * 2
+    return out
+
+
+# --------------------------------------------------------------------- .dbf
+def encode_dbf(fields: list[tuple[str, str, int]], rows: list[tuple]) -> bytes:
+    """fields: (name<=10, 'C'|'N', width). Values are str for C, int for N."""
+    today = date(2024, 1, 1)  # fixed stamp: byte-identical encodes
+    descrs = b""
+    for name, ftype, width in fields:
+        if ftype not in ("C", "N"):
+            raise ValueError(f"unsupported dbf field type {ftype}")
+        descrs += struct.pack(
+            "<11sc4xBB14x", name.encode("ascii")[:10].ljust(11, b"\x00"), ftype.encode(), width, 0
+        )
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(w for _, _, w in fields)
+    head = struct.pack(
+        "<BBBBIHH20x",
+        0x03,
+        today.year - 1900,
+        today.month,
+        today.day,
+        len(rows),
+        header_size,
+        record_size,
+    )
+    body = bytearray()
+    for row in rows:
+        body += b" "  # not-deleted flag
+        for (name, ftype, width), v in zip(fields, row):
+            s = str(v)
+            if len(s) > width:
+                raise ValueError(f"value {s!r} exceeds dbf field {name} width {width}")
+            cell = s.ljust(width) if ftype == "C" else s.rjust(width)
+            body += cell.encode("ascii")
+    return head + descrs + b"\x0d" + bytes(body) + b"\x1a"
+
+
+def decode_dbf(buf: bytes) -> tuple[list[tuple[str, str, int]], list[tuple]]:
+    version = buf[0]
+    if version != 0x03:
+        raise ValueError(f"unsupported dbf version {version:#x}")
+    n_records, header_size, record_size = struct.unpack_from("<IHH", buf, 4)
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        name = buf[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[pos + 11])
+        width = buf[pos + 16]
+        fields.append((name, ftype, width))
+        pos += 32
+    rows = []
+    pos = header_size
+    for _ in range(n_records):
+        if buf[pos : pos + 1] == b"*":  # deleted
+            pos += record_size
+            continue
+        cell_pos = pos + 1
+        row = []
+        for _name, ftype, width in fields:
+            raw = buf[cell_pos : cell_pos + width].decode("ascii")
+            row.append(raw.rstrip() if ftype == "C" else int(raw))
+            cell_pos += width
+        rows.append(tuple(row))
+        pos += record_size
+    return fields, rows
+
+
+# ------------------------------------------------------------- file surface
+def write_shapefile(
+    stem: str,
+    polygons: list[list[np.ndarray]],
+    fields: list[tuple[str, str, int]],
+    rows: list[tuple],
+) -> list[str]:
+    """Write {stem}.shp/.shx/.dbf. Returns the paths written. Mirrors the
+    reference's warn-not-overwrite idempotence
+    (/root/reference/terrakit/transform/labels.py:117-121): existing files
+    are left untouched."""
+    import os
+
+    if len(polygons) != len(rows):
+        raise ValueError("one attribute row per polygon required")
+    paths = [f"{stem}.shp", f"{stem}.shx", f"{stem}.dbf"]
+    if any(os.path.exists(p) for p in paths):
+        return []
+    shp, shx = encode_shp(polygons)
+    dbf = encode_dbf(fields, rows)
+    for path, payload in zip(paths, (shp, shx, dbf)):
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    return paths
+
+
+LABEL_FIELDS = [("label_id", "N", 12), ("datetime", "C", 10), ("labelclass", "N", 4), ("filename", "C", 64)]
+LABEL_SCHEMA = (
+    "label_id bigint, datetime string, labelclass int, filename string, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+
+def write_labels_shp(labels_df, out_dir: str) -> int:
+    """Distributed shapefile sink for the label layer — the engine analogue
+    of the reference's single `{dataset}_labels.shp` save
+    (/root/reference/terrakit/transform/labels.py:360): one
+    part-{pid}.shp/.shx/.dbf triple per partition, written executor-side via
+    foreachPartition (no driver collect), same warn-not-overwrite contract.
+    Expects columns (label_id, datetime, labelclass, filename, cx, cy, rx,
+    ry); geometry = the diamond polygon. Returns the partition count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_parts = labels_df.rdd.getNumPartitions()
+
+    def _write(rows) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        polys = [
+            [
+                np.array(
+                    [[r.cx - r.rx, r.cy], [r.cx, r.cy - r.ry], [r.cx + r.rx, r.cy], [r.cx, r.cy + r.ry]],
+                    dtype=np.float64,
+                )
+            ]
+            for r in rows
+        ]
+        attrs = [(int(r.label_id), r.datetime, int(r.labelclass), r.filename) for r in rows]
+        # partition id from any task-deterministic key would do; use the min
+        # label_id so re-runs land on the same stems regardless of task ids
+        stem = f"{out_dir}/part-{min(a[0] for a in attrs):012d}"
+        write_shapefile(stem, polys, LABEL_FIELDS, attrs)
+
+    labels_df.foreachPartition(_write)
+    return n_parts
+
+
+def read_labels_shapefiles(spark, shp_dir: str):
+    """Distributed shapefile source: binaryFile scan pairs every .shp with
+    its .dbf by stem, mapInPandas parses each pair with the pure-struct
+    codec — the Spark re-expression of the reference's per-file
+    gpd.read_file loop
+    (/root/reference/terrakit/download/download_data.py:185-217). Returns
+    (label_id, datetime, labelclass, filename, xmin, ymin, xmax, ymax)."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(f"{shp_dir}/*")
+    stem = F.regexp_replace("path", r"\.(shp|dbf)$", "")
+    shp = files.filter(F.col("path").endswith(".shp")).select(stem.alias("stem"), F.col("content").alias("shp"))
+    dbf = files.filter(F.col("path").endswith(".dbf")).select(stem.alias("stem"), F.col("content").alias("dbf"))
+    pairs = shp.join(dbf, "stem")
+
+    def _parse(batches):
+        import pandas as pd
+
+        cols = ["label_id", "datetime", "labelclass", "filename", "xmin", "ymin", "xmax", "ymax"]
+        for pdf in batches:
+            out = []
+            for shp_buf, dbf_buf in zip(pdf["shp"], pdf["dbf"]):
+                for flat, (lid, dt, cls, fn) in read_shapefile_rows(bytes(shp_buf), bytes(dbf_buf)):
+                    arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+                    out.append(
+                        (lid, dt, cls, fn, arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return pairs.mapInPandas(_parse, LABEL_SCHEMA)
+
+
+def read_shapefile_rows(shp: bytes, dbf: bytes) -> list[tuple[list[float], tuple]]:
+    """(shp, dbf) byte pair -> [(flat exterior-ring vertices minus the
+    closing point, attr row), ...] — the mapInPandas parsing kernel."""
+    polys = decode_shp(shp)
+    _fields, rows = decode_dbf(dbf)
+    if len(polys) != len(rows):
+        raise ValueError("shp/dbf record count mismatch")
+    out = []
+    for rings, row in zip(polys, rows):
+        ext = rings[0]
+        out.append(([float(v) for v in ext[:-1].ravel()], row))
+    return out
