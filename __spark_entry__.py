@@ -39,7 +39,9 @@ _PRIORITY = [
     "vrt_window_stats",
     "dedup_clusters_star",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "minhash_lsh_128",
+    "duplicate_ngram_spans",
     "shp_roundtrip",
     "curvilinear_clip",
     "bbox_tile_grid",

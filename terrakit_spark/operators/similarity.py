@@ -93,11 +93,12 @@ L_TABLES = 3  # independent hash tables; candidates = union over tables
 MAX_BUCKET = 256  # deterministic per-(table, bucket) candidate cap
 
 
-def _lsh_ctes(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
+def _lsh_ctes(dialect: str, max_bucket: int = MAX_BUCKET, source: str = "embeddings") -> str:
     """Shared CTE prefix (nn → planes → proj → bks → capped) composed by
-    BOTH _lsh_body and lsh_buckets — factored so a CTE rename/reorder can't
-    silently break one of them (they used to be spliced by string-slicing
-    the generated SQL).
+    _lsh_body, lsh_buckets AND the near-dup pair generator — factored so a
+    CTE rename/reorder can't silently break one of them (they used to be
+    spliced by string-slicing the generated SQL). ``source`` selects the
+    vector table (embeddings for ANN, emb_aug for near-dup).
 
     Multi-table random-hyperplane LSH, fully SQL (dual-dialect, so the
     DuckDB oracle replicates bucket assignment, capping, and ranking
@@ -138,7 +139,7 @@ def _lsh_ctes(dialect: str, max_bucket: int = MAX_BUCKET) -> str:
 WITH nn AS (
   SELECT vec_id, qe, norm2 FROM (
     SELECT vec_id, qe, {_dot(d, 'qe', 'qe')} AS norm2
-    FROM (SELECT vec_id, {quant} AS qe FROM embeddings) _e
+    FROM (SELECT vec_id, {quant} AS qe FROM {source}) _e
   ) _n WHERE norm2 > 0
 ),
 planes AS (SELECT * FROM (VALUES {planes}) AS _pl(t, p, mult)),
@@ -265,6 +266,43 @@ SELECT qid, rank, vec_id, cos_sim FROM (
 
 
 register_sql("ann_ivf", _ann_ivf, tables=[])
+
+
+def _embedding_near_dup_lsh(dialect: str) -> str:
+    """The SCALE path for embedding near-dup (what _embedding_near_dup's
+    docstring promises): candidate pairs come from the capped multi-table
+    LSH buckets instead of an all-pairs join, then the same exact-integer
+    cosine verify at >= 0.45. Deterministic end to end (bucket assignment,
+    cap, verify), so the DuckDB oracle replicates it exactly.
+
+    Recall contract: a pair surfaces only if it collides in >= 1 of the
+    L_TABLES tables — with 3 tables x 8 planes a cosine-0.985 planted pair
+    collides w.p. ~0.95 (1 - (1 - (1-theta/pi)^8)^3); misses are the
+    documented LSH trade, and the brute _embedding_near_dup is the
+    exactness baseline it is recall-tested against. Per-(table, bucket)
+    caps bound the pair join at O(max_bucket^2) per bucket whatever the
+    corpus size."""
+    d = D(dialect)
+    cos = (
+        f"CAST({_dot(d, 'a.qe', 'b.qe')} AS DOUBLE)"
+        f" / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE))"
+    )
+    return f"""{_lsh_ctes(dialect, source="emb_aug")},
+pairs AS (
+  SELECT DISTINCT c1.vec_id AS d1, c2.vec_id AS d2
+  FROM capped c1
+  JOIN capped c2 ON c2.t = c1.t AND c2.bucket = c1.bucket AND c2.vec_id > c1.vec_id
+)
+SELECT d1, d2, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT p.d1, p.d2, {cos} AS cos_sim
+  FROM pairs p
+  JOIN nn a ON a.vec_id = p.d1
+  JOIN nn b ON b.vec_id = p.d2
+) _v WHERE cos_sim >= 4.5e-1
+"""
+
+
+register_sql("embedding_near_dup_lsh", _embedding_near_dup_lsh, tables=["emb_aug"])
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -201,3 +201,66 @@ WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
 
 
 register_sql("token_budget_sample", _token_budget_sample, tables=[])
+
+
+SPAN_MOD = 1000000007
+SPAN_MIN_RUN = 5  # >= 5 consecutive shared 3-grams = >= 7 shared tokens
+
+
+def _duplicate_ngram_spans(dialect: str) -> str:
+    """Exact duplicated-substring signal (the training-data dedup pass that
+    MinHash misses: long verbatim spans inside otherwise-different docs):
+    for every doc pair sharing >= SPAN_MIN_RUN consecutive 3-gram shingles,
+    report the number of matched shingles, match runs, and the longest
+    shared token span (run + 2 tokens).
+
+    Plan shape: positional shingles (token rolling hashes combined, same
+    arithmetic as the dedup operators) equi-join on the shingle hash —
+    never on text; runs are recovered per (pair, diagonal ja-jb) with the
+    gaps-and-islands trick (ja - row_number), a standard window over the
+    match table. At corpus scale the shingle join is the same shuffle the
+    MinHash pass already pays; the diagonal window keys on (d1, d2, diag)
+    so no global sort exists. Subset: the %10 sample plus every planted
+    duplicate pair (id % 1e9 recovers the original id for the +1e9/+2e9
+    copies)."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    A, B = 1000003, 10007
+    sub = (
+        f"SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 0 "
+        f"OR (doc_id % 1000000000) % 89 = 0 OR (doc_id % 1000000000) % 97 = 0"
+    )
+    if dialect == "spark":
+        th = f"transform({toks}, t -> {d.rolling_hash('t', SPAN_MOD)})"
+        shp = f"""
+  SELECT doc_id, j, (th_a[j] * {A} + th_a[j + 1] * {B} + th_a[j + 2]) % {SPAN_MOD} AS h
+  FROM (SELECT doc_id, {th} AS th_a FROM ({sub}) _s WHERE {d.arr_len(toks)} >= 3) _t
+  LATERAL VIEW explode(sequence(0, size(th_a) - 3)) _j AS j"""
+    else:
+        th = f"list_transform({toks}, t -> {d.rolling_hash('t', SPAN_MOD)})"
+        shp = f"""
+  SELECT doc_id, j, (th_a[j + 1] * {A} + th_a[j + 2] * {B} + th_a[j + 3]) % {SPAN_MOD} AS h
+  FROM (SELECT doc_id, th_a, unnest(generate_series(0, len(th_a) - 3)) AS j
+        FROM (SELECT doc_id, {th} AS th_a FROM ({sub}) _s WHERE {d.arr_len(toks)} >= 3) _t) _j"""
+    return f"""
+WITH shp AS ({shp}),
+mt AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.j AS ja, b.j AS jb
+  FROM shp a JOIN shp b ON b.h = a.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT d1, d2, ja - jb AS diag,
+         ja - row_number() OVER (PARTITION BY d1, d2, ja - jb ORDER BY ja) AS grp
+  FROM mt
+),
+rl AS (SELECT d1, d2, diag, grp, count(*) AS run_len FROM runs GROUP BY d1, d2, diag, grp)
+SELECT d1, d2,
+       CAST(count(*) AS INT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_matched_shingles,
+       CAST(max(run_len) + 2 AS INT) AS max_shared_tokens
+FROM rl GROUP BY d1, d2
+HAVING max(run_len) >= {SPAN_MIN_RUN}
+"""
+
+
+register_sql("duplicate_ngram_spans", _duplicate_ngram_spans, tables=["docs_aug"])

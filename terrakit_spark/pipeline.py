@@ -48,12 +48,14 @@ def _windows(w: int, h: int, c: int = CHIP) -> list[tuple[int, int, int]]:
     return out
 
 
-def matched_scenes(spark: SparkSession, scene_pred: str) -> DataFrame:
-    """Scenes that win the as-of join for at least one label date."""
+def matched_scenes(spark: SparkSession, scene_pred: str, scenes_df: DataFrame | None = None) -> DataFrame:
+    """Scenes that win the as-of join for at least one label date.
+    scenes_df overrides the catalog scan (streaming micro-batches feed
+    their arrivals here; the as-of filter still applies)."""
     asof = spark.sql(
         "SELECT DISTINCT scene_date_str FROM (" + _asof_join("spark") + ") WHERE scene_date_str IS NOT NULL"
     )
-    scenes = spark.sql(f"SELECT * FROM scenes WHERE {scene_pred}")
+    scenes = scenes_df.filter(scene_pred) if scenes_df is not None else spark.sql(f"SELECT * FROM scenes WHERE {scene_pred}")
     return scenes.join(F.broadcast(asof), "scene_date_str")
 
 
@@ -93,6 +95,7 @@ def chip_pipeline(
     labels_via: str = "broadcast",
     skip_zero_scenes: bool = False,
     memoize_burns: bool = True,
+    scenes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the chip table: one row per (scene, window) with data chip,
     label chip, and per-band integer stat partials.
@@ -107,7 +110,7 @@ def chip_pipeline(
       - "join": cover-cell equi-join + per-scene collect_list — the path
         for a label side too big to broadcast (salted/AQE at scale)."""
     _register_views(spark, sf_dir)
-    scenes = matched_scenes(spark, scene_pred)
+    scenes = matched_scenes(spark, scene_pred, scenes_df=scenes_df)
     n_parts = shuffle_parts or spark.sparkContext.defaultParallelism
 
     if labels_via == "broadcast":

@@ -167,6 +167,63 @@ def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.LongType()),
+        T.StructField("scene_date", T.DateType()),
+        T.StructField("scene_date_str", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def streaming_chip_ingest(
+    spark: SparkSession,
+    scenes_stream_dir: str,
+    sf_dir: str,
+    table,
+    checkpoint: str,
+) -> None:
+    """The reference's ENTIRE dataset-generation job as a streaming ingest:
+    new scene acquisitions land as parquet files, each micro-batch runs the
+    full as-of -> burn -> chip pipeline on just its arrivals and commits a
+    snapshot (the incremental analogue of the batch stage_chip resume).
+
+    Exactly-once: the file-source checkpoint guarantees each arrival file
+    joins exactly one epoch; the foreachBatch body is made idempotent per
+    epoch by skipping a commit whose step name already exists in the
+    snapshot log, so a crash between commit and checkpoint advance cannot
+    double-append on restart (foreachBatch's documented at-least-once
+    window). availableNow trigger -> the same code serves continuous and
+    catch-up runs."""
+    from terrakit_spark.pipeline import chip_pipeline
+
+    src = spark.readStream.schema(SCENE_SCHEMA).parquet(scenes_stream_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        step = f"stream_chip_epoch_{epoch_id}"
+        if any(s.step == step for s in table.snapshots()):
+            return  # epoch replay after a crash: already committed
+        if batch_df.isEmpty():
+            return
+        chips = chip_pipeline(spark, sf_dir, scenes_df=batch_df)
+        table.commit(chips, step=step, partition_col="scene_date_str")
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def batch_first_seen(spark: SparkSession, input_dirs: list[str]) -> DataFrame:
     """Batch equivalent: first batch wins, then min doc_id — the parity
     oracle for streaming_first_seen over the same files."""

@@ -67,6 +67,27 @@ def test_embedding_near_dup_finds_planted_pairs(synth, spark, sf_dir):
     assert all((r.d1, r.d2) in planted for r in rows)
 
 
+def test_embedding_near_dup_lsh_scale_path(synth, spark, sf_dir):
+    """The LSH-bucketed near-dup path: every emitted pair carries the same
+    exact cosine as the brute path, and planted pairs are recovered at (or
+    above) the multi-table collision rate."""
+    lsh = {(r.d1, r.d2): r.cos_sim for r in QUERIES["embedding_near_dup_lsh"](spark, sf_dir).collect()}
+    brute = {(r.d1, r.d2): r.cos_sim for r in QUERIES["embedding_near_dup"](spark, sf_dir).collect()}
+    assert lsh  # non-vacuous
+    # restricted to the brute query's % 10 subset, LSH emits a SUBSET of the
+    # brute pairs with identical cosines (candidates differ, verify doesn't)
+    sub = {p: c for p, c in lsh.items() if p[0] % 10 == 0 and p[1] % 10 == 0}
+    assert set(sub) <= set(brute)
+    assert all(c == brute[p] for p, c in sub.items())
+    # planted-pair recall: predicted ~0.95 per pair (3 tables x 8 planes at
+    # cos ~0.985); assert a conservative floor
+    n_planted = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id % 20 = 0").count()
+    )
+    found = sum(1 for (d1, d2) in lsh if d2 == d1 + 10000000)
+    assert found / n_planted > 0.5, f"planted recall {found}/{n_planted}"
+
+
 def test_ann_ivf_codebook_is_bounded(synth, spark, sf_dir):
     """The IVF coarse quantizer must not scale with corpus size (round-2
     verdict item 1): centroid count is capped by IVF_CODEBOOK no matter how

@@ -70,6 +70,45 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_chip_ingest_matches_batch(synth, spark, sf_dir, tmp_path):
+    """The full dataset-generation pipeline as a streaming ingest: scene
+    acquisitions arriving in two waves produce, via two availableNow drains
+    against one checkpoint, EXACTLY the chips the batch pipeline computes on
+    the union — and an epoch replay cannot double-commit."""
+    from terrakit_spark.pipeline import chip_pipeline
+    from terrakit_spark.plans.snapshots import SnapshotTable
+    from terrakit_spark.streaming.incremental import streaming_chip_ingest
+
+    cols = "scene_id, scene_date, scene_date_str, width, height, bands, xmin, ymin, xmax, ymax"
+    arrivals = str(tmp_path / "arrivals")
+    spark.sql(f"SELECT {cols} FROM scenes WHERE (scene_id % 25) = 15").write.parquet(arrivals + "/wave=1")
+
+    table = SnapshotTable(str(tmp_path / "chips_tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    streaming_chip_ingest(spark, arrivals + "/wave=*", sf_dir, table, ckpt)
+    n_after_wave1 = len(table.snapshots())
+    assert n_after_wave1 >= 1
+
+    # second wave: the checkpoint resumes, only new files are processed
+    spark.sql(f"SELECT {cols} FROM scenes WHERE (scene_id % 25) = 20").write.parquet(arrivals + "/wave=2")
+    streaming_chip_ingest(spark, arrivals + "/wave=*", sf_dir, table, ckpt)
+
+    def rows_of(df):
+        return sorted(
+            (r.scene_id, r.win_index, r.win_x, r.win_y, bytes(r.data), bytes(r.label), r.label_mass)
+            for r in df.collect()
+        )
+
+    got = rows_of(table.read(spark))
+    want = rows_of(chip_pipeline(spark, sf_dir, scene_pred="(scene_id % 25) IN (15, 20)"))
+    assert got == want and len(want) > 0
+
+    # drained stream + no new files => no new snapshot (idempotent catch-up)
+    n_snaps = len(table.snapshots())
+    streaming_chip_ingest(spark, arrivals + "/wave=*", sf_dir, table, ckpt)
+    assert len(table.snapshots()) == n_snaps
+
+
 def test_stateful_streaming_dedup_matches_batch(spark, tmp_path):
     """applyInPandasWithState first-seen dedup: two micro-batches with
     within-batch and cross-batch duplicates; the emitted set must equal the
