@@ -25,37 +25,96 @@ from terrakit_spark.operators.spatial_join import _register_views
 
 
 def connected_components(img: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected labelling of nonzero same-value regions: vectorized
-    min-label flooding (no scipy, no per-pixel Python). Each foreground
-    pixel starts with its linear index; every iteration takes the min over
-    same-value 4-neighbours until fixpoint (O(component diameter) cheap
-    vector passes). Returns (component ids 1..n, count); 0 = background."""
+    """4-connected labelling of nonzero same-value regions (no scipy, no
+    per-pixel Python). Returns (component ids 1..n, count); 0 = background.
+
+    Round-3 rewrite (closing the round-2 watch item): the old min-label
+    flooding took O(component diameter) full-image passes — fine for
+    convex diamonds, pathological for spirals. This version works on the
+    RUN graph (the same reduction the DuckDB polygonize oracle uses):
+
+    1. per-row constant-value runs, extracted vectorized (boundary diff);
+    2. adjacency edges between vertically overlapping same-value runs of
+       consecutive rows, found with searchsorted interval ranges — O(runs
+       + edges), no per-pixel work;
+    3. min-label propagation with POINTER JUMPING over the run graph:
+       each round scatters edge minima (np.minimum.at) then compresses
+       labels (lbl = lbl[lbl] to fixpoint) — O(log runs) rounds whatever
+       the pixel-space diameter.
+
+    Labels resolve to the component's minimum run-start linear index ==
+    its minimum pixel linear index, so the final np.unique numbering is
+    IDENTICAL to the old flooding implementation (oracle parity keeps)."""
     h, w = img.shape
     fg = img != 0
-    ids = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w), np.int64(-1))
-    while True:
-        new = ids.copy()
-        # up
-        ok = fg[1:] & (img[1:] == img[:-1]) & (ids[:-1] >= 0)
-        np.minimum(new[1:], np.where(ok, ids[:-1], np.int64(2**62)), out=new[1:])
-        # down
-        ok = fg[:-1] & (img[:-1] == img[1:]) & (ids[1:] >= 0)
-        np.minimum(new[:-1], np.where(ok, ids[1:], np.int64(2**62)), out=new[:-1])
-        # left
-        ok = fg[:, 1:] & (img[:, 1:] == img[:, :-1]) & (ids[:, :-1] >= 0)
-        np.minimum(new[:, 1:], np.where(ok, ids[:, :-1], np.int64(2**62)), out=new[:, 1:])
-        # right
-        ok = fg[:, :-1] & (img[:, :-1] == img[:, 1:]) & (ids[:, 1:] >= 0)
-        np.minimum(new[:, :-1], np.where(ok, ids[:, 1:], np.int64(2**62)), out=new[:, :-1])
-        if np.array_equal(new, ids):
-            break
-        ids = new
     out = np.zeros((h, w), dtype=np.int64)
-    if fg.any():
-        uniq, inv = np.unique(ids[fg], return_inverse=True)
-        out[fg] = inv + 1
-        return out, len(uniq)
-    return out, 0
+    if not fg.any():
+        return out, 0
+    flat = img.ravel()
+    fgf = fg.ravel()
+    # run starts: fg cell that is row-first, or differs from predecessor
+    idx = np.arange(h * w, dtype=np.int64)
+    prev_same = np.zeros(h * w, dtype=bool)
+    prev_same[1:] = fgf[1:] & fgf[:-1] & (flat[1:] == flat[:-1]) & (idx[1:] % w != 0)
+    starts = np.nonzero(fgf & ~prev_same)[0]
+    # run ends: next boundary
+    run_of = np.cumsum(fgf & ~prev_same) - 1  # per-cell run index (valid on fg)
+    run_last = np.zeros(len(starts), dtype=np.int64)
+    np.maximum.at(run_last, run_of[fgf], idx[fgf])
+    ya, xa = starts // w, starts % w
+    xb = run_last % w
+    val = flat[starts]
+
+    # adjacency: for each run r in row y, the runs in row y-1 overlapping
+    # [xa[r], xb[r]] form a contiguous slice of that row's (sorted) runs
+    lbl = starts.copy()  # label = min run-start linear index
+    R = len(starts)
+    row_first = np.searchsorted(ya, np.arange(h + 1))
+    e_a, e_b = [], []
+    for y in range(1, h):
+        lo0, hi0 = row_first[y - 1], row_first[y]
+        lo1, hi1 = row_first[y], row_first[y + 1]
+        if lo0 == hi0 or lo1 == hi1:
+            continue
+        up_xa, up_xb = xa[lo0:hi0], xb[lo0:hi0]
+        cur_xa, cur_xb = xa[lo1:hi1], xb[lo1:hi1]
+        first = np.searchsorted(up_xb, cur_xa)  # first upper run with xb >= xa'
+        last = np.searchsorted(up_xa, cur_xb, side="right")  # past-last with xa <= xb'
+        cnt = np.maximum(last - first, 0)
+        if cnt.sum() == 0:
+            continue
+        rcur = np.repeat(np.arange(lo1, hi1), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        rup = lo0 + np.repeat(first, cnt) + offs
+        same = val[rcur] == val[rup]
+        e_a.append(rcur[same])
+        e_b.append(rup[same])
+    if e_a:
+        ea = np.concatenate(e_a)
+        eb = np.concatenate(e_b)
+        # pointer-jumping min propagation: O(log R) rounds
+        while True:
+            la, lb = lbl[ea], lbl[eb]
+            m = np.minimum(la, lb)
+            before = lbl.copy()
+            np.minimum.at(lbl, ea, m)
+            np.minimum.at(lbl, eb, m)
+            # compress: labels are run-start indices; map to run ids
+            rid = run_of[lbl]  # run id owning that start
+            lbl = np.minimum(lbl, lbl[rid])
+            while True:
+                nxt = lbl[run_of[lbl]]
+                if np.array_equal(nxt, lbl):
+                    break
+                lbl = nxt
+            if np.array_equal(before, lbl):
+                break
+    # paint pixels with their run's resolved label, then dense-number
+    px_lbl = lbl[run_of[fgf]]
+    uniq, inv = np.unique(px_lbl, return_inverse=True)
+    out_flat = out.ravel()
+    out_flat[fgf] = inv + 1
+    return out, len(uniq)
 
 
 def boundary_stats(mask: np.ndarray) -> tuple[int, int]:

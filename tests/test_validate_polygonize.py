@@ -179,6 +179,69 @@ def _trace_rings_dictwalk(mask):
     return rings
 
 
+def _cc_flood(img):
+    """Round-2 min-label flooding CC (O(diameter) passes), kept as the
+    differential reference for the run-graph pointer-jumping rewrite."""
+    import numpy as np
+
+    h, w = img.shape
+    fg = img != 0
+    ids = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w), np.int64(-1))
+    while True:
+        new = ids.copy()
+        ok = fg[1:] & (img[1:] == img[:-1]) & (ids[:-1] >= 0)
+        np.minimum(new[1:], np.where(ok, ids[:-1], np.int64(2**62)), out=new[1:])
+        ok = fg[:-1] & (img[:-1] == img[1:]) & (ids[1:] >= 0)
+        np.minimum(new[:-1], np.where(ok, ids[1:], np.int64(2**62)), out=new[:-1])
+        ok = fg[:, 1:] & (img[:, 1:] == img[:, :-1]) & (ids[:, :-1] >= 0)
+        np.minimum(new[:, 1:], np.where(ok, ids[:, :-1], np.int64(2**62)), out=new[:, 1:])
+        ok = fg[:, :-1] & (img[:, :-1] == img[:, 1:]) & (ids[:, 1:] >= 0)
+        np.minimum(new[:, :-1], np.where(ok, ids[:, 1:], np.int64(2**62)), out=new[:, :-1])
+        if np.array_equal(new, ids):
+            break
+        ids = new
+    out = np.zeros((h, w), dtype=np.int64)
+    if fg.any():
+        uniq, inv = np.unique(ids[fg], return_inverse=True)
+        out[fg] = inv + 1
+        return out, len(uniq)
+    return out, 0
+
+
+def test_connected_components_matches_flooding_reference():
+    """The run-graph pointer-jumping CC must produce byte-identical labels
+    (same dense numbering) as the flooding reference — including on a
+    spiral, whose pixel-space diameter is what the rewrite removes."""
+    import numpy as np
+
+    from terrakit_spark.operators.polygonize import connected_components
+
+    rng = np.random.RandomState(3)
+    for _ in range(150):
+        h, w = rng.randint(1, 20), rng.randint(1, 20)
+        img = rng.randint(0, 4, size=(h, w)).astype(np.int32)
+        a, na = connected_components(img)
+        b, nb = _cc_flood(img)
+        assert na == nb and np.array_equal(a, b)
+
+    n = 101
+    img = np.zeros((n, n), dtype=np.int32)
+    x0, x1, y0, y1 = 0, n - 1, 0, n - 1
+    while x0 <= x1:
+        img[y0, x0 : x1 + 1] = 1
+        img[y0 : y1 + 1, x1] = 1
+        img[y1, x0 : x1 + 1] = 1
+        if x0:
+            img[y0 + 2 : y1 + 1, x0] = 1
+        x0 += 2
+        x1 -= 2
+        y0 += 2
+        y1 -= 2
+    a, na = connected_components(img)
+    b, nb = _cc_flood(img)
+    assert na == nb and np.array_equal(a, b)
+
+
 def _normalize_rings(rings):
     """Rotation-invariant canonical form: rotate each ring to its smallest
     vertex, sort the ring list."""
