@@ -42,6 +42,8 @@ _PRIORITY = [
     "embedding_near_dup_lsh",
     "minhash_lsh_128",
     "duplicate_ngram_spans",
+    "hll_distinct_tokens",
+    "curation_rollup_cube",
     "shp_roundtrip",
     "curvilinear_clip",
     "bbox_tile_grid",

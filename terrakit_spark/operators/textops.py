@@ -5,7 +5,7 @@ Python) with identical DuckDB oracles."""
 
 from __future__ import annotations
 
-from terrakit_spark.dialect import D
+from terrakit_spark.dialect import SPARK, D
 from terrakit_spark.registry import register_sql
 
 STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -264,3 +264,136 @@ HAVING max(run_len) >= {SPAN_MIN_RUN}
 
 
 register_sql("duplicate_ngram_spans", _duplicate_ngram_spans, tables=["docs_aug"])
+
+
+HLL_M = 64  # registers (p = 6); standard error 1.04/sqrt(64) ~ 13%
+
+
+def _hll_distinct_tokens(dialect: str) -> str:
+    """Portable HyperLogLog distinct-token estimate — the approx-distinct
+    sketch Spark's approx_count_distinct provides, rebuilt on the PORTABLE
+    rolling hash so the DuckDB oracle computes the bit-identical sketch
+    (engine-native HLLs use incompatible hash functions and could only get
+    a rows-only check; this one is exact-oracle-able).
+
+    Construction (classic Flajolet HLL, m = 64):
+    - 60-bit token hash from two independent rolling hashes (31x / 131x,
+      mod 2^30-ish primes), packed like the SimHash60 operator;
+    - register j = h % 64, w = h >> 6 (54 bits), rho = 55 - bitlen(w)
+      (bitlen via length(bin(w)) — identical in both engines), w = 0 -> 55;
+    - M_j = max(rho); Z = sum over ALL 64 registers of 2^-M_j (absent
+      register -> 2^0, materialized by a generate_series cross join);
+      2^-M computed as 1/shiftleft(1, M) so every term is an EXACT power
+      of two, not a libm pow;
+    - raw estimate alpha_64 * m^2 / Z with the standard small-range
+      correction m * ln(m / V) when E <= 2.5m and V empty registers exist.
+    Exact distinct (count DISTINCT) is emitted alongside so the ~13%
+    error contract is visible and test-asserted.
+
+    Scale shape: ONE map-side-combinable max aggregate per (group,
+    register) — 64 longs of state per group however many tokens stream
+    through; this is the whole point of the sketch at 10^12 docs."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    n = d.arr_len(toks)
+    h1 = _roll_txt(d, "item", 31)
+    h2 = _roll_txt(d, "item", 131)
+    # two domains: 'token' (tiny cardinality -> small-range ln correction
+    # branch) and '2gram' (hundreds -> raw-estimate branch), so BOTH
+    # estimator branches are exercised and oracle-pinned
+    if dialect == "spark":
+        grams = f"transform(sequence(0, {n} - 2), i -> concat(toks_a[i], ' ', toks_a[i + 1]))"
+        tok_rows = f"SELECT 'token' AS dom, doc_id % 4 AS grp, tok AS item FROM documents LATERAL VIEW explode({toks}) _t AS tok"
+        gram_rows = (
+            f"SELECT '2gram' AS dom, doc_id % 4 AS grp, gram AS item "
+            f"FROM (SELECT doc_id, {grams} AS gs FROM (SELECT doc_id, {d.split_ws('text')} AS toks_a, text FROM documents) _b WHERE {n} >= 2) _g "
+            f"LATERAL VIEW explode(gs) _e AS gram"
+        )
+        regs_all = f"SELECT dom, grp, explode(sequence(0, {HLL_M - 1})) AS j FROM (SELECT DISTINCT dom, grp FROM items) _g"
+    else:
+        grams = f"list_transform(generate_series(1, {n} - 1), i -> concat(toks_a[i], ' ', toks_a[i + 1]))"
+        tok_rows = f"SELECT 'token' AS dom, doc_id % 4 AS grp, unnest({toks}) AS item FROM documents"
+        gram_rows = (
+            f"SELECT '2gram' AS dom, doc_id % 4 AS grp, unnest(gs) AS item "
+            f"FROM (SELECT doc_id, {grams} AS gs FROM (SELECT doc_id, {d.split_ws('text')} AS toks_a, text FROM documents) _b WHERE {n} >= 2) _g"
+        )
+        regs_all = f"SELECT dom, grp, unnest(generate_series(0, {HLL_M - 1})) AS j FROM (SELECT DISTINCT dom, grp FROM items) _g"
+    w = d.shiftright("h", "6")
+    rho = f"CASE WHEN {w} = 0 THEN 55 ELSE 55 - length(bin({w})) END"
+    inv_pow = f"1.0 / CAST({d.shiftleft('CAST(1 AS BIGINT)', 'M')} AS DOUBLE)"
+    return f"""
+WITH items AS ({tok_rows} UNION ALL {gram_rows}),
+th AS (
+  SELECT dom, grp, item, {d.shiftleft(f'({h1})', '30')} + ({h2}) AS h FROM items
+),
+regs AS (
+  SELECT dom, grp, h % {HLL_M} AS j, max({rho}) AS M
+  FROM th GROUP BY dom, grp, h % {HLL_M}
+),
+full_regs AS (
+  SELECT a.dom, a.grp, a.j, coalesce(r.M, 0) AS M
+  FROM ({regs_all}) a LEFT JOIN regs r ON r.dom = a.dom AND r.grp = a.grp AND r.j = a.j
+),
+sketch AS (
+  SELECT dom, grp,
+         sum({inv_pow}) AS Z,
+         sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS V
+  FROM full_regs GROUP BY dom, grp
+),
+est AS (
+  SELECT dom, grp, V,
+         7.09e-1 * {HLL_M * HLL_M} / Z AS e_raw
+  FROM sketch
+),
+exact AS (SELECT dom, grp, count(DISTINCT item) AS n_exact FROM items GROUP BY dom, grp)
+SELECT e.dom, e.grp,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       round(CASE WHEN e.e_raw <= {2.5 * HLL_M} AND e.V > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(e.V AS DOUBLE))
+                  ELSE e.e_raw END, 4) AS n_est,
+       CAST(e.V AS INT) AS n_zero_regs
+FROM est e JOIN exact x ON x.dom = e.dom AND x.grp = e.grp
+"""
+
+
+def _roll_txt(d: D, s: str, mult: int) -> str:
+    """Two-multiplier rolling hash (same family as the SimHash60 packer)."""
+    if d.d == SPARK:
+        return (
+            f"aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+            f"(acc, c) -> (acc * {mult} + CAST(ascii(c) AS BIGINT)) % 1073741789)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {mult} + c) % 1073741789)"
+    )
+
+
+register_sql("hll_distinct_tokens", _hll_distinct_tokens, tables=[])
+
+
+def _curation_rollup_cube(dialect: str) -> str:
+    """Corpus accounting with GROUPING SETS — (lang x length-bucket),
+    per-lang, per-bucket, and grand total in ONE pass (the reference has no
+    grouping-set concept at all, SURVEY §2.4; Spark computes this with a
+    single Expand + aggregate, no self-unions). Non-grouped dimensions are
+    coalesced to 'ALL' so the two engines' NULL markers hash identically."""
+    d = D(dialect)
+    n = d.arr_len(d.split_ws("text"))
+    return f"""
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(len_bucket, 'ALL') AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM (
+  SELECT lang,
+         CASE WHEN {n} < 60 THEN 'short' WHEN {n} < 100 THEN 'mid' ELSE 'long' END AS len_bucket,
+         CAST({n} AS BIGINT) AS n_tokens
+  FROM documents
+) _d
+GROUP BY GROUPING SETS ((lang, len_bucket), (lang), (len_bucket), ())
+"""
+
+
+register_sql("curation_rollup_cube", _curation_rollup_cube, tables=[])
