@@ -200,14 +200,20 @@ def streaming_chip_ingest(
     epoch by skipping a commit whose step name already exists in the
     snapshot log, so a crash between commit and checkpoint advance cannot
     double-append on restart (foreachBatch's documented at-least-once
-    window). availableNow trigger -> the same code serves continuous and
-    catch-up runs."""
+    window). The step name is scoped to the CHECKPOINT identity, because
+    epoch ids restart at 0 for a fresh checkpoint — an unscoped name would
+    silently skip a new stream's first epochs against an existing table.
+    availableNow trigger -> the same code serves continuous and catch-up
+    runs."""
+    import hashlib
+
     from terrakit_spark.pipeline import chip_pipeline
 
+    ckpt_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
     src = spark.readStream.schema(SCENE_SCHEMA).parquet(scenes_stream_dir)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        step = f"stream_chip_epoch_{epoch_id}"
+        step = f"stream_chip_{ckpt_tag}_epoch_{epoch_id}"
         if any(s.step == step for s in table.snapshots()):
             return  # epoch replay after a crash: already committed
         if batch_df.isEmpty():

@@ -123,6 +123,23 @@ def test_new_joins_are_equi_hash(synth, spark, sf_dir):
     assert "CartesianProduct" not in ivf
 
 
+def test_round3_queries_are_equi_hash(synth, spark, sf_dir):
+    """Round-3 operators keep the no-cartesian discipline: the n-gram span
+    join keys on the shingle hash, the LSH near-dup pair join on (table,
+    bucket), the curvilinear clip's row/col-drop joins on (scene, y)/
+    (scene, x), and the HLL register fill on (dom, grp, j)."""
+    for q in (
+        "duplicate_ngram_spans",
+        "embedding_near_dup_lsh",
+        "curvilinear_clip",
+        "hll_distinct_tokens",
+        "minhash_lsh_128",
+    ):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")), q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_bucketed_join_avoids_shuffle(synth, spark, sf_dir, tmp_path):
     """Co-located joins via bucketing (SURVEY §4): two tables bucketBy the
     join key join WITHOUT an exchange on either side — the plan the big

@@ -108,6 +108,12 @@ def test_streaming_chip_ingest_matches_batch(synth, spark, sf_dir, tmp_path):
     streaming_chip_ingest(spark, arrivals + "/wave=*", sf_dir, table, ckpt)
     assert len(table.snapshots()) == n_snaps
 
+    # a FRESH checkpoint is a new stream identity whose epochs restart at
+    # 0: the epoch guard is scoped per checkpoint, so it must REPROCESS
+    # (commit again), not silently skip against the old stream's epoch 0
+    streaming_chip_ingest(spark, arrivals + "/wave=*", sf_dir, table, str(tmp_path / "ckpt2"))
+    assert len(table.snapshots()) > n_snaps
+
 
 def test_stateful_streaming_dedup_matches_batch(spark, tmp_path):
     """applyInPandasWithState first-seen dedup: two micro-batches with
