@@ -44,6 +44,7 @@ _PRIORITY = [
     "duplicate_ngram_spans",
     "hll_distinct_tokens",
     "curation_rollup_cube",
+    "burn_histogram_nodata",
     "shp_roundtrip",
     "curvilinear_clip",
     "bbox_tile_grid",

@@ -155,9 +155,12 @@ def scene_label_pairs(spark: SparkSession, scenes_sql_pred: str) -> DataFrame:
     )
 
 
-def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def burn_histogram(spark: SparkSession, sf_dir: str, fill: int = BACKGROUND) -> DataFrame:
     """(scene_id, label_class, n_px) histograms of the burned label images,
-    including the background class 0 (only when background pixels remain)."""
+    including the background class (only when background pixels remain).
+    fill selects the background value: 0 (default) or -1 — the reference's
+    set_no_data mode (/root/reference/terrakit/download/
+    download_data.py:369,387-388), which frees class 0 for real labels."""
     _register_views(spark, sf_dir)
     pairs = scene_label_pairs(spark, SMALL_PRED_SQL)
     scenes = spark.sql(f"SELECT scene_id, width, height, xmin, ymax FROM scenes WHERE {SMALL_PRED_SQL}")
@@ -170,7 +173,10 @@ def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]], dtype=np.float64)
             for cx, cy, rx, ry in zip(pdf["cx"], pdf["cy"], pdf["rx"], pdf["ry"])
         ]
-        img = burn_image(w, h, float(pdf["xmin"].iloc[0]), float(pdf["ymax"].iloc[0]), polys, list(pdf["labelclass"]))
+        img = burn_image(
+            w, h, float(pdf["xmin"].iloc[0]), float(pdf["ymax"].iloc[0]),
+            polys, list(pdf["labelclass"]), fill=fill,
+        )
         cls, cnt = np.unique(img, return_counts=True)
         return pd.DataFrame(
             {"scene_id": key[0], "label_class": cls.astype(np.int32), "n_px": cnt.astype(np.int64)}
@@ -181,7 +187,7 @@ def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = scenes.join(pairs.select("scene_id").distinct(), "scene_id", "left_anti").select(
         "scene_id",
-        F.lit(BACKGROUND).cast("int").alias("label_class"),
+        F.lit(fill).cast("int").alias("label_class"),
         (F.col("width").cast("long") * F.col("height").cast("long")).alias("n_px"),
     )
     return hist.unionByName(untouched)
@@ -191,9 +197,10 @@ def burn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pixels x cell-join (hotspot cells made that quadratic: 605 s at sf0.01;
 # this form runs in seconds). Winner per pixel = max-geom_seq cover
 # (last-wins burn), identical to the engine's reverse-order occlusion burn.
-_BURN_ORACLE = with_synth(
-    DUCK,
-    f"""
+def _burn_oracle(fill: int) -> str:
+    return with_synth(
+        DUCK,
+        f"""
 WITH sc AS (
   SELECT scene_id, width, height, xmin, ymin, xmax, ymax
   FROM scenes WHERE {SMALL_PRED_SQL}
@@ -236,14 +243,21 @@ totals AS (
 )
 SELECT scene_id, CAST(cls AS INT) AS label_class, CAST(n_px AS BIGINT) AS n_px FROM per_class
 UNION ALL
-SELECT t.scene_id, {BACKGROUND} AS label_class,
+SELECT t.scene_id, {fill} AS label_class,
        CAST(t.total - coalesce(c.covered_px, 0) AS BIGINT) AS n_px
 FROM totals t
 LEFT JOIN (SELECT scene_id, sum(n_px) AS covered_px FROM per_class GROUP BY scene_id) c
   ON c.scene_id = t.scene_id
 WHERE t.total - coalesce(c.covered_px, 0) > 0
 """,
-    tables=["labels", "scenes"],
-)
+        tables=["labels", "scenes"],
+    )
 
-register_df("burn_histogram", burn_histogram, oracle=_BURN_ORACLE)
+
+def _burn_histogram_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-class set_no_data variant: background burns as -1 instead of 0."""
+    return burn_histogram(spark, sf_dir, fill=-1)
+
+
+register_df("burn_histogram", burn_histogram, oracle=_burn_oracle(BACKGROUND))
+register_df("burn_histogram_nodata", _burn_histogram_nodata, oracle=_burn_oracle(-1))
