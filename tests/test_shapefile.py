@@ -91,6 +91,51 @@ def test_file_surface_and_no_overwrite(tmp_path):
     assert write_shapefile(stem, feats, fields, rows) == []
 
 
+def test_shapefile_roundtrip_property():
+    """Arbitrary polygons (any vertex count/winding/coordinates, multi-ring
+    features) and attribute rows survive encode->decode: bit-exact double
+    vertices (as a set — the codec may re-close/re-orient), spec-compliant
+    CW closed rings, and exact attrs. Mirrors the hypothesis coverage the
+    GeoTIFF/NetCDF codecs already have."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from terrakit_spark.sinks.shapefile import _signed_area2
+
+    coord = st.floats(-1e6, 1e6, allow_nan=False, width=64)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        feats=st.lists(
+            st.lists(  # feature = 1..3 rings
+                st.lists(st.tuples(coord, coord), min_size=3, max_size=12),
+                min_size=1,
+                max_size=3,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        klass=st.integers(-999, 9999),
+    )
+    def check(feats, klass):
+        polys = [[np.asarray(r, dtype=np.float64) for r in f] for f in feats]
+        shp, shx = encode_shp(polys)
+        back = decode_shp(shp)
+        assert len(back) == len(polys)
+        for orig, dec in zip(polys, back):
+            assert len(dec) == len(orig)
+            for oring, dring in zip(orig, dec):
+                assert (dring[0] == dring[-1]).all()  # closed
+                assert _signed_area2(dring) <= 0  # CW (0 for degenerate)
+                assert {tuple(p) for p in dring} >= {tuple(p) for p in oring}
+        fields = [("klass", "N", 6), ("name", "C", 8)]
+        rows = [(klass, f"f{i}") for i in range(len(feats))]
+        _f, brows = decode_dbf(encode_dbf(fields, rows))
+        assert brows == rows
+
+    check()
+
+
 def test_distributed_shp_sink_then_source(synth, spark, sf_dir, tmp_path):
     """foreachPartition shapefile sink -> binaryFile + mapInPandas source:
     the full distributed write/read loop recovers every label row and
