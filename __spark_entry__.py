@@ -45,6 +45,7 @@ _PRIORITY = [
     "hll_distinct_tokens",
     "curation_rollup_cube",
     "burn_histogram_nodata",
+    "spatial_join_pip_salted",
     "shp_roundtrip",
     "curvilinear_clip",
     "bbox_tile_grid",

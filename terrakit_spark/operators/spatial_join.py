@@ -161,3 +161,20 @@ WHERE abs(p.mx - l.cx) / l.rx + abs(p.my - l.cy) / l.ry < 1
 )
 
 register_df("spatial_join_pip", spatial_join_pip, oracle=_ORACLE)
+
+
+def spatial_join_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join through the salted shuffle path (n_salts=8): the
+    point side hashes into a salt, the polygon side replicates per salt,
+    and the equi-join keys on (cell, salt) — the north rule's 'salted
+    repartitioning for hotspot cells'. Pinned to the IDENTICAL oracle as
+    spatial_join_pip, because salting is a physical-layout device and must
+    be invisible in the output (a wrong salt join duplicates or drops
+    pairs — exactly what the shared value-hash would catch)."""
+    _register_views(spark, sf_dir)
+    points = spark.table("media").select("media_ref", "mx", "my")
+    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    return cell_pip_join(points, polys, n_salts=8).select("media_ref", "label_id")
+
+
+register_df("spatial_join_pip_salted", spatial_join_pip_salted, oracle=_ORACLE)

@@ -121,3 +121,17 @@ def test_star_cc_matches_hashmin_and_handles_chains(synth, spark, sf_dir):
     assert len(rows) == 64
     assert {r.cluster_id for r in rows} == {0}
     assert sum(r.is_keeper for r in rows) == 1
+
+
+def test_star_cc_logarithmic_rounds_on_long_chain(synth, spark, sf_dir):
+    """Empirical O(log n) evidence: a 512-node path (diameter 511, where
+    hash-min needs 511 rounds) must converge within ~2*log2(512) star
+    rounds — max_rounds=22 would RAISE (the round-3 non-convergence guard)
+    if the bound were not logarithmic."""
+    from terrakit_spark.operators.dedup import star_connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(511)], "d1 long, d2 long")
+    rows = star_connected_components(spark, chain, max_rounds=22).collect()
+    assert len(rows) == 512
+    assert {r.cluster_id for r in rows} == {0}
+    assert sum(r.is_keeper for r in rows) == 1
