@@ -150,9 +150,12 @@ def main() -> None:
     spark.range(1_000_000).count()  # JVM/codegen warmup outside timings
     # Per-query min over repeats, same as --scaling: the sandbox host has
     # multi-minute noisy-neighbour epochs, and a single pass can record a
-    # 5-8x outlier for a multi-second query (observed in round 1). The min
-    # is the software's time; the noise is the host's.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 5-8x outlier for a multi-second query (observed in round 1; in round
+    # 3 an identical job degraded monotonically 68->130 s across one
+    # evening — BENCH/BASELINE.md campaign note). The min is the
+    # software's time; the noise is the host's. Three repeats (up from 2)
+    # halves the chance that every repeat lands in a bad epoch.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     best: dict[str, float] = {}
     rows = 0
     for rep in range(reps):
