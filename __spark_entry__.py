@@ -28,33 +28,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver's CORRECTNESS pass has never (or not recently) verified
-# go FIRST, so a capped driver run reaches them before re-verifying the
-# long-green rest (round-2 verdict item 3).
+# LRU rotation (round-3 verdict item 1): the 22 queries with no r3 driver
+# row go FIRST so a capped driver pass re-reaches them. ann_ivf leads —
+# its codebook was rewritten in round 3 after its last driver row, plus
+# the operators whose code changed THIS round (duplicate_ngram_spans cap,
+# token_budget_sample two-pass, taco split fix).
 _PRIORITY = [
-    "corpus_curation",
-    "repetition_signals",
-    "rest_point_forecast",
-    "token_budget_sample",
-    "vrt_window_stats",
-    "dedup_clusters_star",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "minhash_lsh_128",
+    "ann_ivf",
     "duplicate_ngram_spans",
-    "hll_distinct_tokens",
-    "curation_rollup_cube",
-    "burn_histogram_nodata",
-    "spatial_join_pip_salted",
-    "shp_roundtrip",
-    "curvilinear_clip",
-    "bbox_tile_grid",
-    "chip_inventory",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_stats",
-    "window_grid",
+    "token_budget_sample",
+    "ann_lsh_bucketed",
+    "ann_topk_quantized",
+    "burn_histogram",
+    "chip_pipeline_full",
+    "dataset_package",
+    "dataset_package_counts",
+    "dataset_stats_quirk",
+    "distinct_dates",
+    "media_decode_features",
+    "media_frame_sample",
+    "media_resize",
+    "pipeline_skip_zero",
+    "pipeline_summary_small",
+    "pricing_summary",
+    "raster_polygonize",
+    "region_rollup",
+    "sessionize_events",
+    "split_assign",
+    "split_counts",
+    "temporal_range_filter",
+    "top_orders_window",
 ]
 
 

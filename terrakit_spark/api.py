@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from terrakit_spark.operators.spatial_join import _register_views
-
 
 def process_labels(
     spark: SparkSession,
@@ -35,26 +33,17 @@ def process_labels(
     through the pure-struct shapefile sink."""
     if not active:
         return None
-    _register_views(spark, sf_dir)
-    labels = spark.sql(
-        "SELECT label_id, geom_seq, datetime, labelclass, filename, cx, cy, rx, ry, "
-        "cx - rx AS xmin, cy - ry AS ymin, cx + rx AS xmax, cy + ry AS ymax FROM labels"
-    )
-    bboxes = spark.sql(
-        """
-        SELECT dc.datetime, dc.labelclass, env.xmin, env.ymin, env.xmax, env.ymax
-        FROM (SELECT DISTINCT datetime, labelclass FROM labels) dc
-        JOIN (SELECT datetime, min(cx - rx) AS xmin, min(cy - ry) AS ymin,
-                     max(cx + rx) AS xmax, max(cy + ry) AS ymax
-              FROM labels GROUP BY datetime) env
-          ON dc.datetime = env.datetime
-        """
-    )
     if working_dir:
-        from terrakit_spark.cli import stage_labels
+        # One computation: the stage plans via the shared labels_frames and
+        # commits; the returned frames ARE the committed tables (no drift
+        # between the return value and the persisted snapshot).
+        from terrakit_spark.cli import _table, stage_labels
 
         stage_labels(spark, sf_dir, working_dir, write_shp=write_shp)
-    return labels, bboxes
+        return _table(working_dir, "labels").read(spark), _table(working_dir, "bboxes").read(spark)
+    from terrakit_spark.cli import labels_frames
+
+    return labels_frames(spark, sf_dir)
 
 
 def download_data(
@@ -63,23 +52,25 @@ def download_data(
     dataset_name: str = "terrakit_curated_dataset",
     working_dir: str | None = None,
     active: bool = True,
-    max_cloud_cover: int = 80,
+    max_cloud_cover: int | None = 80,
 ) -> DataFrame | None:
     """The as-of matched 'queried data' table (J1): label dates matched to
     scene dates within [d, d+post_days], first-minimum tie-break
-    (download_data.py:219-324). max_cloud_cover feeds the connector
-    predicate pushdown (F2) when scenes come from a connector source."""
+    (download_data.py:219-324). max_cloud_cover is applied to the scene
+    side BEFORE matching — the F2 cloud-cover predicate, same synthetic
+    proxy as the connector registry (scene_id % 100 as cc,
+    sources/registry.py:101). Pass None to disable the filter."""
     if not active:
         return None
-    _register_views(spark, sf_dir)
-    from terrakit_spark.operators.asof import _asof_join
-
-    matched = spark.sql(_asof_join("spark")).filter("scene_date_str IS NOT NULL")
+    scene_filter = "true" if max_cloud_cover is None else f"(scene_id % 100) < {int(max_cloud_cover)}"
     if working_dir:
-        from terrakit_spark.cli import stage_download
+        from terrakit_spark.cli import _table, stage_download
 
-        stage_download(spark, sf_dir, working_dir)
-    return matched
+        stage_download(spark, sf_dir, working_dir, scene_filter=scene_filter)
+        return _table(working_dir, "matched").read(spark)
+    from terrakit_spark.cli import matched_frame
+
+    return matched_frame(spark, sf_dir, scene_filter)
 
 
 def chip_and_label_data(
@@ -100,11 +91,15 @@ def chip_and_label_data(
         return None
     from terrakit_spark.pipeline import chip_pipeline, dataset_stats
 
-    chips = chip_pipeline(spark, sf_dir, scene_pred=scene_pred, transforms=transforms)
     if working_dir:
-        from terrakit_spark.cli import stage_chip
+        # Chip once inside the stage (which also writes the stats side-car)
+        # and hand back the committed table — not a second chip_pipeline run.
+        from terrakit_spark.cli import _table, stage_chip
 
         stage_chip(spark, sf_dir, working_dir, scene_pred, transforms)
+        chips = _table(working_dir, "chips").read(spark)
+    else:
+        chips = chip_pipeline(spark, sf_dir, scene_pred=scene_pred, transforms=transforms)
     return chips, (dataset_stats(chips) if stats else None)
 
 
@@ -114,21 +109,24 @@ def taco_store_data(
     dataset_name: str = "terrakit_curated_dataset",
     active: bool = True,
 ) -> DataFrame | None:
-    """Package chips with deterministic train/val/test splits — the
+    """Package chips with deterministic train/validation/test splits — the
     tortilla/taco container replaced by a dataset table with a data_split
-    column (store/taco.py:69-201; split discipline 64/16/20)."""
+    column (store/taco.py:69-201; split discipline 64/16/20, values
+    'train'/'validation'/'test' exactly as the reference emits them,
+    store/taco.py:103-107). Bucketing goes through the overflow-safe
+    split_col helper so the 64/16/20 discipline holds at any corpus
+    scale (see operators/split.py)."""
     if not active:
         return None
     from pyspark.sql import functions as F
 
-    from terrakit_spark.operators.split import KNUTH
+    from terrakit_spark.operators.split import split_col
 
     key = F.col("scene_id") * 1000 + F.col("win_index")
-    bucket = (key * F.lit(KNUTH)) % 100
     return chips.select(
         F.format_string("%d_%d.data.tif", "scene_id", "win_index").alias("file_path"),
         F.format_string("%d_%d.label.tif", "scene_id", "win_index").alias("label_file"),
-        F.when(bucket < 64, "train").when(bucket < 80, "val").otherwise("test").alias("data_split"),
+        split_col(key).alias("data_split"),
         "scene_id",
         "win_index",
         "scene_date_str",

@@ -34,11 +34,9 @@ def _table(working_dir: str, name: str) -> SnapshotTable:
     return SnapshotTable(os.path.join(working_dir, name))
 
 
-def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str, write_shp: bool = False) -> dict:
-    """labels stage: load label layer + per-date grouped bboxes
-    (transform/labels.py:477-591). write_shp additionally materializes the
-    layer as ESRI Shapefiles (the reference's `*_labels.shp` save,
-    transform/labels.py:360) via the distributed pure-struct codec."""
+def labels_frames(spark: SparkSession, sf_dir: str) -> tuple:
+    """(labels, grouped-bbox) frames — the single definition both the labels
+    stage and api.process_labels plan from (transform/labels.py:477-591)."""
     _register_views(spark, sf_dir)
     labels = spark.sql(
         """
@@ -48,10 +46,6 @@ def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str, write_shp: 
         FROM labels
         """
     )
-    if write_shp:
-        from terrakit_spark.sinks.shapefile import write_labels_shp
-
-        write_labels_shp(labels, os.path.join(working_dir, "shp"))
     bboxes = spark.sql(
         """
         SELECT dc.datetime, dc.labelclass, env.xmin, env.ymin, env.xmax, env.ymax
@@ -62,18 +56,39 @@ def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str, write_shp: 
           ON dc.datetime = env.datetime
         """
     )
+    return labels, bboxes
+
+
+def stage_labels(spark: SparkSession, sf_dir: str, working_dir: str, write_shp: bool = False) -> dict:
+    """labels stage: load label layer + per-date grouped bboxes
+    (transform/labels.py:477-591). write_shp additionally materializes the
+    layer as ESRI Shapefiles (the reference's `*_labels.shp` save,
+    transform/labels.py:360) via the distributed pure-struct codec."""
+    labels, bboxes = labels_frames(spark, sf_dir)
+    if write_shp:
+        from terrakit_spark.sinks.shapefile import write_labels_shp
+
+        # the stage semantic is "recommit": clear + rewrite so a resumed run
+        # under a different partitioning never leaves stale stems behind
+        write_labels_shp(labels, os.path.join(working_dir, "shp"), overwrite=True)
     s1 = _table(working_dir, "labels").commit(labels, step="labels", partition_col="datetime")
     s2 = _table(working_dir, "bboxes").commit(bboxes, step="labels_bboxes", partition_col="datetime")
     return {"labels_rows": s1.n_rows, "bbox_rows": s2.n_rows}
 
 
-def stage_download(spark: SparkSession, sf_dir: str, working_dir: str) -> dict:
-    """download stage: as-of match label dates to scenes (J1) — the
-    'queried data' table (download/download_data.py:219-324)."""
+def matched_frame(spark: SparkSession, sf_dir: str, scene_filter: str = "true") -> "DataFrame":
+    """J1 as-of matched table; scene_filter is the F2 cloud-cover pushdown
+    seam (download_data.py:219-324)."""
     _register_views(spark, sf_dir)
     from terrakit_spark.operators.asof import _asof_join
 
-    matched = spark.sql(_asof_join("spark")).filter("scene_date_str IS NOT NULL")
+    return spark.sql(_asof_join("spark", scene_filter)).filter("scene_date_str IS NOT NULL")
+
+
+def stage_download(spark: SparkSession, sf_dir: str, working_dir: str, scene_filter: str = "true") -> dict:
+    """download stage: as-of match label dates to scenes (J1) — the
+    'queried data' table (download/download_data.py:219-324)."""
+    matched = matched_frame(spark, sf_dir, scene_filter)
     snap = _table(working_dir, "matched").commit(matched, step="download_asof", partition_col="scene_date_str")
     return {"matched_rows": snap.n_rows}
 
@@ -130,14 +145,13 @@ def stage_store(spark: SparkSession, sf_dir: str, working_dir: str, write_tifs: 
 
         _register_views(spark, sf_dir)
         write_chip_tifs(chips_with_geo(chips, spark.table("scenes")), os.path.join(working_dir, "tifs"))
-    from terrakit_spark.operators.split import KNUTH
+    from terrakit_spark.operators.split import split_col
 
     key = F.col("scene_id") * 1000 + F.col("win_index")
-    bucket = (key * F.lit(KNUTH)) % 100
     ds = chips.select(
         F.format_string("%d_%d.data.tif", "scene_id", "win_index").alias("file_path"),
         F.format_string("%d_%d.label.tif", "scene_id", "win_index").alias("label_file"),
-        F.when(bucket < 64, "train").when(bucket < 80, "val").otherwise("test").alias("data_split"),
+        split_col(key).alias("data_split"),
         "scene_id",
         "win_index",
         "scene_date_str",

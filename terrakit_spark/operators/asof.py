@@ -23,7 +23,11 @@ from terrakit_spark.registry import register_sql
 from terrakit_spark.synth import POST_DAYS, PRE_DAYS
 
 
-def _asof_join(dialect: str) -> str:
+def _asof_join(dialect: str, scene_filter: str = "true") -> str:
+    """scene_filter pre-filters the scene side before the DISTINCT — the F2
+    cloud-cover pushdown seam api.download_data threads max_cloud_cover
+    through (download_data.py:506-643). Default 'true' keeps the registered
+    query/oracle text unchanged."""
     d = D(dialect)
     ldate = "b.dt"
     lo = d.date_add(ldate, f"-{PRE_DAYS}")
@@ -38,7 +42,7 @@ FROM (
          row_number() OVER (PARTITION BY b.datetime
                             ORDER BY {diff} ASC NULLS LAST, s.scene_date ASC NULLS LAST) AS rn
   FROM (SELECT DISTINCT datetime, {d.to_date("datetime")} AS dt FROM labels) b
-  LEFT JOIN (SELECT DISTINCT scene_date FROM scenes) s
+  LEFT JOIN (SELECT DISTINCT scene_date FROM scenes WHERE {scene_filter}) s
     ON s.scene_date >= {lo} AND s.scene_date <= {hi}
 ) ranked
 WHERE rn = 1

@@ -11,7 +11,7 @@ split assignment in closed form."""
 from __future__ import annotations
 
 from terrakit_spark.dialect import SPARK, D
-from terrakit_spark.operators.split import KNUTH
+from terrakit_spark.operators.split import split_case_sql
 from terrakit_spark.registry import register_sql
 from terrakit_spark.synth import CHIP
 
@@ -38,13 +38,10 @@ FROM (SELECT scene_id, width, height, x, unnest(generate_series(0, CAST(height -
 def _dataset_package(dialect: str) -> str:
     d = D(dialect)
     sample_key = "(scene_id * 1000 + win_index)"
-    bucket = f"(({sample_key}) * {KNUTH}) % 100"
     return f"""
 SELECT {d.fmt("%d_%d.data.tif", "scene_id", "win_index")} AS file_path,
        {d.fmt("%d_%d.label.tif", "scene_id", "win_index")} AS label_file,
-       CASE WHEN {bucket} < 64 THEN 'train'
-            WHEN {bucket} < 80 THEN 'val'
-            ELSE 'test' END AS data_split,
+       {split_case_sql(sample_key)} AS data_split,
        scene_id, win_index
 FROM ({_chip_grid(dialect)}) g
 """

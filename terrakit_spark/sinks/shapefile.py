@@ -222,18 +222,34 @@ LABEL_SCHEMA = (
 )
 
 
-def write_labels_shp(labels_df, out_dir: str) -> int:
+def write_labels_shp(labels_df, out_dir: str, overwrite: bool = False) -> int:
     """Distributed shapefile sink for the label layer — the engine analogue
     of the reference's single `{dataset}_labels.shp` save
     (/root/reference/terrakit/transform/labels.py:360): one
-    part-{pid}.shp/.shx/.dbf triple per partition, written executor-side via
-    foreachPartition (no driver collect), same warn-not-overwrite contract.
-    Expects columns (label_id, datetime, labelclass, filename, cx, cy, rx,
-    ry); geometry = the diamond polygon. Returns the partition count."""
+    part-{min label_id}.shp/.shx/.dbf triple per partition, written
+    executor-side via foreachPartition (no driver collect). Expects columns
+    (label_id, datetime, labelclass, filename, cx, cy, rx, ry); geometry =
+    the diamond polygon. Returns the number of triples actually written.
+
+    Idempotence is partitioning-INDEPENDENT: stems derive from data (min
+    label_id per partition), so a re-run with a different partition count
+    would write NEW stems while the old triples linger — the reader would
+    then see duplicated rows. A non-empty out_dir therefore raises unless
+    overwrite=True, which clears existing part-* triples first."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    n_parts = labels_df.rdd.getNumPartitions()
+    existing = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    if existing:
+        if not overwrite:
+            raise FileExistsError(
+                f"write_labels_shp: {out_dir} already holds {len(existing)} part files; "
+                "a re-run under a different partitioning would duplicate label rows "
+                "on read — pass overwrite=True to clear and rewrite"
+            )
+        for f in existing:
+            os.remove(os.path.join(out_dir, f))
+    n_written = labels_df.sparkSession.sparkContext.accumulator(0)
 
     def _write(rows) -> None:
         rows = list(rows)
@@ -252,10 +268,11 @@ def write_labels_shp(labels_df, out_dir: str) -> int:
         # partition id from any task-deterministic key would do; use the min
         # label_id so re-runs land on the same stems regardless of task ids
         stem = f"{out_dir}/part-{min(a[0] for a in attrs):012d}"
-        write_shapefile(stem, polys, LABEL_FIELDS, attrs)
+        if write_shapefile(stem, polys, LABEL_FIELDS, attrs):
+            n_written.add(1)
 
     labels_df.foreachPartition(_write)
-    return n_parts
+    return n_written.value
 
 
 def read_labels_shapefiles(spark, shp_dir: str):

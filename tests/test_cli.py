@@ -31,7 +31,7 @@ def test_cli_stages_end_to_end(synth, spark, sf_dir, tmp_path):
 
     r4 = stage_store(spark, sf_dir, wd)
     assert r4["dataset_rows"] == r3["chips_rows"]
-    assert set(r4["splits"]) <= {"train", "val", "test"}
+    assert set(r4["splits"]) <= {"train", "validation", "test"}
 
     # lineage recorded per stage with step_order
     lin = SnapshotTable(os.path.join(wd, "chips")).lineage_df(spark).collect()

@@ -145,7 +145,16 @@ def test_distributed_shp_sink_then_source(synth, spark, sf_dir, tmp_path):
     src = spark.sql(
         "SELECT label_id, datetime, labelclass, filename, cx, cy, rx, ry FROM labels"
     ).repartition(4)
-    write_labels_shp(src, str(tmp_path / "shp"))
+    n_written = write_labels_shp(src, str(tmp_path / "shp"))
+    assert 1 <= n_written <= 4  # triples actually written, not partition count
+    # re-run under a DIFFERENT partitioning must refuse (stale stems would
+    # duplicate rows on read), and overwrite=True must clear + rewrite
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        write_labels_shp(src.repartition(2), str(tmp_path / "shp"))
+    assert write_labels_shp(src.repartition(2), str(tmp_path / "shp"), overwrite=True) >= 1
+    write_labels_shp(src, str(tmp_path / "shp"), overwrite=True)
     back = read_labels_shapefiles(spark, str(tmp_path / "shp"))
     want = sorted(
         (r.label_id, r.datetime, r.labelclass, r.filename, r.cx - r.rx, r.cy - r.ry, r.cx + r.rx, r.cy + r.ry)
