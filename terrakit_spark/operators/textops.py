@@ -166,28 +166,23 @@ register_sql("corpus_curation", _corpus_curation, tables=[])
 TOKEN_BUDGET = 5000
 
 
-def _token_budget_sample(dialect: str) -> str:
-    """Token-budget sampling: fill a fixed token budget with the
-    highest-priority documents (priority = stopword ratio as the quality
-    proxy, doc_id tiebreak) — the 'take the best N tokens' cut every
-    corpus build ends with. A doc is kept while the running token total of
-    strictly-higher-priority docs stays under budget (so the first
-    over-budget doc is the last kept).
-
-    Scale note: the global ORDER BY window is fine here and at moderate
-    corpus sizes; at 10^12 docs the same semantics run as two passes —
-    priority-histogram to locate the cutoff bucket, then the exact window
-    only within that bucket."""
+def _token_budget_scored(dialect: str) -> str:
     d = D(dialect)
     toks = d.split_ws("text")
     n = d.arr_len(toks)
     stop = d.list_filter_in(toks, STOP_EN)
     return f"""
-WITH scored AS (
   SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
          round({stop} / {n}, 6) AS priority
   FROM documents WHERE {n} >= 1
-),
+"""
+
+
+def _token_budget_onepass(dialect: str) -> str:
+    """Single global ORDER BY window — the semantics in their simplest form;
+    kept as the DuckDB oracle and as the Spark parity reference."""
+    return f"""
+WITH scored AS ({_token_budget_scored(dialect)}),
 runsum AS (
   SELECT doc_id, n_tokens, priority,
          sum(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC
@@ -200,19 +195,88 @@ WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
 """
 
 
+def _token_budget_twopass(dialect: str) -> str:
+    """Two-pass plan for the same semantics with NO global sort over the
+    doc table: (1) bucket docs by a monotone function of priority
+    (floor(priority * 1e6); priority is already rounded to 6 dp, so equal
+    priorities share a bucket and buckets respect the global order), sum
+    tokens per bucket, and prefix-sum the TINY histogram (<= 1e6+1 rows —
+    the only single-partition window) to get each bucket's token offset;
+    (2) prune every bucket whose offset already exceeds the budget (its
+    first doc is over budget by construction), then run the exact window
+    PARTITIONED BY bucket and add the offset. Exact, not approximate: the
+    per-bucket running sum + strictly-higher-bucket offset reproduces the
+    global running sum row for row."""
+    return f"""
+WITH scored AS ({_token_budget_scored(dialect)}),
+b AS (
+  SELECT doc_id, n_tokens, priority,
+         CAST(floor(priority * 1000000) AS BIGINT) AS bkt
+  FROM scored
+),
+hist AS (SELECT bkt, sum(n_tokens) AS bkt_tokens FROM b GROUP BY bkt),
+off AS (
+  SELECT bkt,
+         coalesce(sum(bkt_tokens) OVER (ORDER BY bkt DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bkt_offset
+  FROM hist
+),
+keepb AS (SELECT bkt, bkt_offset FROM off WHERE bkt_offset < {TOKEN_BUDGET}),
+w AS (
+  SELECT b.doc_id, b.n_tokens, b.priority,
+         k.bkt_offset + sum(b.n_tokens) OVER (PARTITION BY b.bkt
+                        ORDER BY b.priority DESC, b.doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM b JOIN keepb k ON k.bkt = b.bkt
+)
+SELECT doc_id, n_tokens, priority, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM w WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+"""
+
+
+def _token_budget_sample(dialect: str) -> str:
+    """Token-budget sampling: fill a fixed token budget with the
+    highest-priority documents (priority = stopword ratio as the quality
+    proxy, doc_id tiebreak) — the 'take the best N tokens' cut every
+    corpus build ends with. A doc is kept while the running token total of
+    strictly-higher-priority docs stays under budget (so the first
+    over-budget doc is the last kept).
+
+    The Spark side runs the two-pass histogram plan (no global sort over
+    the doc table — the round-3 watch item); the DuckDB oracle keeps the
+    one-pass global window, so the driver's exact-match gate doubles as
+    the cross-plan parity proof."""
+    if dialect == SPARK:
+        return _token_budget_twopass(dialect)
+    return _token_budget_onepass(dialect)
+
+
 register_sql("token_budget_sample", _token_budget_sample, tables=[])
 
 
 SPAN_MOD = 1000000007
 SPAN_MIN_RUN = 5  # >= 5 consecutive shared 3-grams = >= 7 shared tokens
+SPAN_DF_CAP = 32  # shingles in more than this many docs are dropped pre-join
 
 
-def _duplicate_ngram_spans(dialect: str) -> str:
+def _duplicate_ngram_spans(dialect: str, source_sql: str | None = None, df_cap: int = SPAN_DF_CAP) -> str:
     """Exact duplicated-substring signal (the training-data dedup pass that
     MinHash misses: long verbatim spans inside otherwise-different docs):
     for every doc pair sharing >= SPAN_MIN_RUN consecutive 3-gram shingles,
     report the number of matched shingles, match runs, and the longest
     shared token span (run + 2 tokens).
+
+    Hot-shingle cap (the scale contract): a shingle hash appearing in more
+    than df_cap distinct docs is dropped BEFORE the pair join — a posting
+    list of length k yields k^2 join rows, and natural corpora carry
+    stop-phrase 3-grams with enormous k, so without the cap one hash value
+    serializes a skewed shuffle partition and the output itself goes
+    quadratic. Dropping ubiquitous shingles is standard in the
+    substring-dedup literature (they carry no dedup signal). Recall
+    contract: a matched run that CONTAINS a dropped hot shingle splits into
+    shorter runs (or falls under SPAN_MIN_RUN), and spans composed entirely
+    of corpus-ubiquitous phrases are not reported — both engines apply the
+    identical cap, so the oracle sees the same outputs.
 
     Plan shape: positional shingles (token rolling hashes combined, same
     arithmetic as the dedup operators) equi-join on the shingle hash —
@@ -226,7 +290,7 @@ def _duplicate_ngram_spans(dialect: str) -> str:
     d = D(dialect)
     toks = d.split_ws("text")
     A, B = 1000003, 10007
-    sub = (
+    sub = source_sql or (
         f"SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 0 "
         f"OR (doc_id % 1000000000) % 89 = 0 OR (doc_id % 1000000000) % 97 = 0"
     )
@@ -244,9 +308,15 @@ def _duplicate_ngram_spans(dialect: str) -> str:
         FROM (SELECT doc_id, {th} AS th_a FROM ({sub}) _s WHERE {d.arr_len(toks)} >= 3) _t) _j"""
     return f"""
 WITH shp AS ({shp}),
+hot AS (
+  SELECT h FROM shp GROUP BY h HAVING count(DISTINCT doc_id) > {df_cap}
+),
+shpc AS (
+  SELECT s.doc_id, s.j, s.h FROM shp s LEFT JOIN hot ON hot.h = s.h WHERE hot.h IS NULL
+),
 mt AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, a.j AS ja, b.j AS jb
-  FROM shp a JOIN shp b ON b.h = a.h AND a.doc_id < b.doc_id
+  FROM shpc a JOIN shpc b ON b.h = a.h AND a.doc_id < b.doc_id
 ),
 runs AS (
   SELECT d1, d2, ja - jb AS diag,

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_jar() -> str | None:
+    """Path to an iceberg-spark-runtime jar if one is reachable, else None.
+
+    Probe order: $SPARK_GRAFT_ICEBERG_JAR, then pyspark's bundled jars dir.
+    The engine's snapshot layer (plans/snapshots.py) is a faithful stand-in
+    when this returns None (this container ships no Iceberg jar); when a
+    jar appears, get_spark wires the catalog so the same call sites can use
+    `df.writeTo(...)` + snapshot reads."""
+    env = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    try:
+        import glob
+
+        import pyspark
+
+        hits = glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar"))
+        return hits[0] if hits else None
+    except Exception:
+        return None
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "terrakit_spark",
@@ -56,6 +78,21 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
     )
+    jar = iceberg_jar()
+    if jar:
+        # real Iceberg catalog (hadoop, warehouse under ./spark-warehouse or
+        # $SPARK_GRAFT_ICEBERG_WAREHOUSE); the snapshot stand-in remains the
+        # default path — callers opt in via writeTo("iceberg.<table>")
+        builder = (
+            builder.config("spark.jars", jar)
+            .config("spark.sql.extensions", "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.iceberg", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.iceberg.type", "hadoop")
+            .config(
+                "spark.sql.catalog.iceberg.warehouse",
+                os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE", "spark-warehouse/iceberg"),
+            )
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -125,18 +125,40 @@ DOC_SCHEMA = T.StructType(
 )
 
 DEDUP_BUCKETS = 256
+BLOOM_BITS = 1 << 16  # 65,536 bits/bucket -> 1,024 longs of bounded state
+BLOOM_K = 4  # hash probes; FP ~ (1 - e^(-K*n/BITS))^K ~ 1.2e-5 at n=1,000/bucket
 
 
-def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+def _bloom_coords(fingerprint: str):
+    """K (word, mask) probe coordinates via double hashing of two CRC32s —
+    deterministic across executors (no PYTHONHASHSEED dependence)."""
+    import zlib
+
+    raw = fingerprint.encode()
+    h1 = zlib.crc32(raw)
+    h2 = zlib.crc32(b"terrakit-bloom:" + raw) | 1
+    idx = [((h1 + i * h2) & 0xFFFFFFFF) % BLOOM_BITS for i in range(BLOOM_K)]
+    return [(i >> 6, 1 << (i & 63)) for i in idx]
+
+
+def streaming_first_seen(spark: SparkSession, input_dir: str, state: str = "exact") -> DataFrame:
     """Custom stateful streaming dedup via applyInPandasWithState: emit a
     document only the FIRST time its content fingerprint is seen across the
     whole stream (the training-pipeline 'exact dedup at ingest' shape).
 
-    State is a fingerprint set per hash bucket — groupBy(bucket) bounds
-    both shuffle keys and per-group state; within a micro-batch the
-    min-doc_id duplicate wins (deterministic), across batches the earlier
-    batch wins (stream order). At 10^12 docs the per-bucket set moves to a
-    bloom/rocksdb state store; the operator shape is unchanged."""
+    groupBy(bucket) bounds both shuffle keys and per-group state; within a
+    micro-batch the min-doc_id duplicate wins (deterministic), across
+    batches the earlier batch wins (stream order).
+
+    state='exact': per-bucket fingerprint set — exact, but state grows
+    linearly with distinct fingerprints.
+    state='bloom': per-bucket fixed 65,536-bit bloom filter (1,024 longs,
+    BOUNDED however many docs stream through — the 10^12-doc shape).
+    False-positive contract: a colliding NEW fingerprint is wrongly
+    dropped; with K=4 probes the rate is (1 - e^(-4n/65536))^4 per bucket
+    (~1.2e-5 at n=1,000 distinct fingerprints per bucket; resize BLOOM_BITS
+    to the per-bucket cardinality target). Duplicates are NEVER emitted
+    twice under either mode."""
     import pandas as pd
 
     src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
@@ -148,19 +170,46 @@ def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
             T.StructField("fingerprint", T.StringType()),
         ]
     )
-    state_type = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
 
-    def first_seen(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for r in pdf.itertuples(index=False):
-                if r.fingerprint not in seen:
-                    seen.add(r.fingerprint)
-                    rows.append((int(r.doc_id), r.fingerprint))
-        state.update((sorted(seen),))
-        yield pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+    if state == "exact":
+        state_type = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+
+        def first_seen(key, pdfs, st):
+            seen = set(st.get[0]) if st.exists else set()
+            rows = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values("doc_id")
+                for r in pdf.itertuples(index=False):
+                    if r.fingerprint not in seen:
+                        seen.add(r.fingerprint)
+                        rows.append((int(r.doc_id), r.fingerprint))
+            st.update((sorted(seen),))
+            yield pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+
+    elif state == "bloom":
+        state_type = T.StructType([T.StructField("bits", T.ArrayType(T.LongType()))])
+
+        def first_seen(key, pdfs, st):
+            import numpy as np
+
+            if st.exists:
+                bits = np.array(st.get[0], dtype=np.int64).view(np.uint64)
+            else:
+                bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+            rows = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values("doc_id")
+                for r in pdf.itertuples(index=False):
+                    coords = _bloom_coords(r.fingerprint)
+                    if not all(bits[w] & np.uint64(m) for w, m in coords):
+                        for w, m in coords:
+                            bits[w] |= np.uint64(m)
+                        rows.append((int(r.doc_id), r.fingerprint))
+            st.update((bits.view(np.int64).tolist(),))
+            yield pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+
+    else:
+        raise ValueError(f"streaming_first_seen: unknown state mode {state!r}")
 
     return bucketed.groupBy("bucket").applyInPandasWithState(
         first_seen, out_type, state_type, "append", "NoTimeout"

@@ -147,3 +147,29 @@ def test_concurrent_commit_does_not_clobber(spark, tmp_path):
     snaps = {sn.snapshot_id: sn.step for sn in t.snapshots()}
     assert snaps == {0: "s", 1: "racer", 2: "s"}
     assert t.read(spark).count() == 3 + 7 + 5
+
+
+def test_iceberg_probe_seam(spark):
+    """iceberg_jar() finds no jar in this container -> the snapshot layer
+    is the active checkpoint path and no iceberg catalog is configured.
+    When a jar is provisioned ($SPARK_GRAFT_ICEBERG_JAR) the session wires
+    a hadoop catalog named 'iceberg' and the writeTo test below runs."""
+    from terrakit_spark.session import iceberg_jar
+
+    jar = iceberg_jar()
+    if jar is None:
+        assert spark.conf.get("spark.sql.catalog.iceberg", None) is None
+    else:
+        assert spark.conf.get("spark.sql.catalog.iceberg", None) is not None
+
+
+def test_iceberg_writeto_roundtrip(spark):
+    from terrakit_spark.session import iceberg_jar
+
+    import pytest
+
+    if iceberg_jar() is None or spark.conf.get("spark.sql.catalog.iceberg", None) is None:
+        pytest.skip("no iceberg-spark-runtime jar in this container")
+    spark.range(10).writeTo("iceberg.probe_t").createOrReplace()
+    assert spark.table("iceberg.probe_t").count() == 10
+    assert spark.sql("SELECT count(*) FROM iceberg.probe_t.snapshots").collect()[0][0] >= 1

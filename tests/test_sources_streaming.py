@@ -115,11 +115,15 @@ def test_streaming_chip_ingest_matches_batch(synth, spark, sf_dir, tmp_path):
     assert len(table.snapshots()) > n_snaps
 
 
-def test_stateful_streaming_dedup_matches_batch(spark, tmp_path):
-    """applyInPandasWithState first-seen dedup: two micro-batches with
-    within-batch and cross-batch duplicates; the emitted set must equal the
-    batch first-wins oracle, and a duplicate arriving in a LATER batch must
-    not re-emit (state persisted across batches)."""
+@pytest.mark.parametrize("state_mode", ["exact", "bloom"])
+def test_stateful_streaming_dedup_matches_batch(spark, tmp_path, state_mode):
+    """applyInPandasWithState first-seen dedup (both state backends: exact
+    per-bucket set, and the bounded 65,536-bit bloom filter): two
+    micro-batches with within-batch and cross-batch duplicates; the emitted
+    set must equal the batch first-wins oracle, and a duplicate arriving in
+    a LATER batch must not re-emit (state persisted across batches). At
+    this cardinality the bloom FP contract (~1e-5) cannot fire, so both
+    backends must agree exactly."""
     import datetime as dt
 
     from terrakit_spark.streaming.incremental import (
@@ -138,7 +142,7 @@ def test_stateful_streaming_dedup_matches_batch(spark, tmp_path):
 
     def drain():
         q = (
-            streaming_first_seen(spark, inp + "/batch=*")
+            streaming_first_seen(spark, inp + "/batch=*", state=state_mode)
             .writeStream.format("parquet")
             .option("path", out)
             .outputMode("append")
