@@ -77,7 +77,7 @@ def run_queries(spark, sf_dir: str, heavy_only: bool = False) -> tuple[dict[str,
     return timings, rows_out
 
 
-SCALING_SCENE_PRED = "(scene_id % 5) = 0"
+SCALING_SCENE_PRED = os.environ.get("SPARK_GRAFT_SCALING_PRED", "(scene_id % 5) = 0")
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 
 
