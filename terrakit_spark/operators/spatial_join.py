@@ -178,3 +178,64 @@ def spatial_join_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_df("spatial_join_pip_salted", spatial_join_pip_salted, oracle=_ORACLE)
+
+
+def adaptive_cell_deg(
+    points: DataFrame,
+    px: str,
+    py: str,
+    polys: DataFrame,
+    target_per_cell: float = 64.0,
+    min_deg: float = 1.0 / 256,
+    max_deg: float = 1.0,
+) -> float:
+    """Pick the cell size from MEASURED point density — the round-4 sf1
+    lesson: a fixed cell grid is the right index only while per-cell
+    density is bounded. 10x rows in a fixed-area world is 10x density, and
+    per-cell candidate pairs grow with density^2; the cell level must
+    track density the way H3/S2 resolution selection does.
+
+    cell area ~= target_per_cell / density  ->  cell_deg =
+    sqrt(target/density), snapped DOWN to a power of two (keeps the grid
+    nested and deterministic), then clamped to [min_deg, max_deg] and
+    floored at half the mean polygon radius — below that, cover-cell rows
+    per polygon grow as (2r/cell)^2 and the polygon side's explosion costs
+    what the point side saved.
+
+    Cost: two tiny metadata aggregates (a count+bbox over points, a mean
+    extent over polys) collected driver-side — the same class of scalar
+    pre-pass as the pipeline's label-broadcast sizing."""
+    import math
+
+    prow = points.agg(
+        F.count("*").alias("n"),
+        F.min(px).alias("x0"),
+        F.max(px).alias("x1"),
+        F.min(py).alias("y0"),
+        F.max(py).alias("y1"),
+    ).collect()[0]
+    if not prow.n:
+        return max_deg
+    area = max((prow.x1 - prow.x0) * (prow.y1 - prow.y0), 1e-9)
+    density = prow.n / area
+    raw = math.sqrt(target_per_cell / density)
+    grow = polys.agg(F.avg((F.col("xmax") - F.col("xmin")) / 2.0).alias("r")).collect()[0]
+    r_floor = (grow.r or 0.0) / 2.0
+    snapped = 2.0 ** math.floor(math.log2(max(raw, 1e-9)))
+    return min(max(snapped, r_floor, min_deg), max_deg)
+
+
+def spatial_join_pip_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join with the cell size chosen by adaptive_cell_deg —
+    pinned to the IDENTICAL oracle as spatial_join_pip, because the cell
+    grid is a candidate-generation device and must be invisible in the
+    output at ANY resolution (a wrong cover-cell enumeration drops or
+    duplicates pairs — exactly what the shared value-hash would catch)."""
+    _register_views(spark, sf_dir)
+    points = spark.table("media").select("media_ref", "mx", "my")
+    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    deg = adaptive_cell_deg(points, "mx", "my", polys)
+    return cell_pip_join(points, polys, cell_deg=deg).select("media_ref", "label_id")
+
+
+register_df("spatial_join_pip_adaptive", spatial_join_pip_adaptive, oracle=_ORACLE)
