@@ -195,32 +195,39 @@ def adaptive_cell_deg(
     per-cell candidate pairs grow with density^2; the cell level must
     track density the way H3/S2 resolution selection does.
 
-    cell area ~= target_per_cell / density  ->  cell_deg =
-    sqrt(target/density), snapped DOWN to a power of two (keeps the grid
-    nested and deterministic), then clamped to [min_deg, max_deg] and
-    floored at half the mean polygon radius — below that, cover-cell rows
-    per polygon grow as (2r/cell)^2 and the polygon side's explosion costs
-    what the point side saved.
+    The density that matters is the HOTTEST cell's, not the global mean —
+    skew is the whole problem (a uniform-mean selector read the synthetic
+    world as sparse while 30% of points sit in 15 deg^2). So the probe is
+    a cell-OCCUPANCY aggregate on a coarse 1-degree grid: density =
+    max(points per probe cell) / probe area, then cell area ~=
+    target_per_cell / density -> cell_deg = sqrt(target/density), snapped
+    DOWN to a power of two (keeps the grid nested and deterministic),
+    clamped to [min_deg, max_deg] and floored at a quarter of the mean
+    polygon radius — below that, cover-cell rows per polygon grow as
+    (2r/cell)^2 and the polygon side's explosion costs what the point
+    side saved.
 
-    Cost: two tiny metadata aggregates (a count+bbox over points, a mean
-    extent over polys) collected driver-side — the same class of scalar
-    pre-pass as the pipeline's label-broadcast sizing."""
+    Cost: one map-combinable groupBy over the probe grid (<= 64,800 output
+    cells at ANY input size) + a mean-extent aggregate over polys, both
+    collected driver-side — the same class of scalar pre-pass as the
+    pipeline's label-broadcast sizing."""
     import math
 
-    prow = points.agg(
-        F.count("*").alias("n"),
-        F.min(px).alias("x0"),
-        F.max(px).alias("x1"),
-        F.min(py).alias("y0"),
-        F.max(py).alias("y1"),
-    ).collect()[0]
-    if not prow.n:
+    probe = 1.0
+    occ = (
+        points.groupBy(
+            F.floor(F.col(px) / probe).alias("_ox"), F.floor(F.col(py) / probe).alias("_oy")
+        )
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("hot"))
+        .collect()[0]
+    )
+    if not occ.hot:
         return max_deg
-    area = max((prow.x1 - prow.x0) * (prow.y1 - prow.y0), 1e-9)
-    density = prow.n / area
+    density = occ.hot / (probe * probe)
     raw = math.sqrt(target_per_cell / density)
     grow = polys.agg(F.avg((F.col("xmax") - F.col("xmin")) / 2.0).alias("r")).collect()[0]
-    r_floor = (grow.r or 0.0) / 2.0
+    r_floor = (grow.r or 0.0) / 4.0
     snapped = 2.0 ** math.floor(math.log2(max(raw, 1e-9)))
     return min(max(snapped, r_floor, min_deg), max_deg)
 
