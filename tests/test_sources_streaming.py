@@ -162,3 +162,45 @@ def test_stateful_streaming_dedup_matches_batch(spark, tmp_path, state_mode):
         for r in batch_first_seen(spark, [inp + "/batch=1", inp + "/batch=2"]).collect()
     }
     assert got == expected == {(1, "fA"), (2, "fB"), (5, "fC")}
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data contract (§2.9): in APPEND mode a window is emitted once
+    the watermark passes its end, and a row arriving BEHIND the watermark
+    afterwards is dropped — it must not re-emit or alter the closed
+    window. (The complete-mode queries above keep all state; this pins the
+    production late-data semantics.)"""
+    import datetime as dt
+
+    from terrakit_spark.streaming.incremental import windowed_event_counts_stream
+
+    inp = str(tmp_path / "late_in")
+    out = str(tmp_path / "late_out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 30, 0)
+
+    def drain():
+        q = (
+            windowed_event_counts_stream(spark, inp + "/batch=*", watermark="10 minutes", window="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two rows in the 10:00 window + one far-future row that
+    # advances the watermark beyond 11:10, closing the 10:00 window
+    b1 = [(1, t0, 1, "a", 1.0), (2, t0, 1, "a", 1.0), (3, t0 + dt.timedelta(hours=3), 1, "a", 1.0)]
+    spark.createDataFrame(b1, schema).write.parquet(inp + "/batch=1")
+    drain()
+    got1 = {(r.window_start.hour, r.event_type): r.n for r in spark.read.parquet(out).collect()}
+    assert got1.get((10, "a")) == 2  # closed window emitted exactly once
+
+    # batch 2: a LATE row inside the already-closed 10:00 window
+    spark.createDataFrame([(4, t0, 1, "a", 5.0)], schema).write.parquet(inp + "/batch=2")
+    drain()
+    rows = [r for r in spark.read.parquet(out).collect() if r.window_start.hour == 10]
+    assert len(rows) == 1 and rows[0].n == 2  # late row dropped, window not re-emitted
