@@ -118,6 +118,13 @@ class D:
             return f"size(filter({arr}, x -> x IN ({lits})))"
         return f"len(list_filter({arr}, x -> x IN ({lits})))"
 
+    def regexp_replace_all(self, s: str, pattern: str, repl: str) -> str:
+        """Replace EVERY match (Spark replaces all by default; DuckDB needs
+        the 'g' flag)."""
+        if self.d == SPARK:
+            return f"regexp_replace({s}, '{pattern}', '{repl}')"
+        return f"regexp_replace({s}, '{pattern}', '{repl}', 'g')"
+
     def regexp_count(self, s: str, pattern: str) -> str:
         if self.d == SPARK:
             return f"size(regexp_extract_all({s}, '{pattern}', 0))"

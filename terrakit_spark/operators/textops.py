@@ -467,3 +467,116 @@ GROUP BY GROUPING SETS ((lang, len_bucket), (lang), (len_bucket), ())
 
 
 register_sql("curation_rollup_cube", _curation_rollup_cube, tables=[])
+
+
+# PII patterns shared verbatim by both dialects: POSIX-ish classes only, no
+# \d / \w shorthand (engine regex flavors differ there). Planted corpus:
+# every 7th doc carries a deterministic email / phone / IPv4 tail, so the
+# operator is non-vacuous and exact-oracle-checkable.
+PII_EMAIL = "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+[a-zA-Z]"
+PII_PHONE = "[+]1-555-[0-9]{4}"
+PII_IP = "192[.]168[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_scrub(dialect: str) -> str:
+    """PII scrubbing — the curation pass every training corpus runs before
+    release: count and redact emails / phone numbers / IPv4s. Pure codegen
+    SQL (regexp_extract_all + regexp_replace), one scan, no Python.
+    The redacted text itself is not emitted (the driver hash would drag
+    megabytes through the compare); its portable rolling hash is, which
+    pins byte-identical redaction in both engines."""
+    d = D(dialect)
+    planted = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN {d.fmt("%s contact user%d@mail.example.com now", "text", "doc_id")}
+              WHEN doc_id % 7 = 3 THEN {d.fmt("%s call +1-555-%d ok", "text", "(1000 + doc_id % 9000)")}
+              WHEN doc_id % 7 = 5 THEN {d.fmt("%s host 192.168.%d.%d up", "text", "(doc_id % 256)", "((doc_id * 7) % 256)")}
+              ELSE text END AS text
+  FROM documents"""
+    redacted = d.regexp_replace_all(
+        d.regexp_replace_all(d.regexp_replace_all("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"),
+        PII_IP,
+        "<IP>",
+    )
+    return f"""
+WITH pii_docs AS ({planted})
+SELECT doc_id,
+       CAST({d.regexp_count("text", PII_EMAIL)} AS INT) AS n_emails,
+       CAST({d.regexp_count("text", PII_PHONE)} AS INT) AS n_phones,
+       CAST({d.regexp_count("text", PII_IP)} AS INT) AS n_ips,
+       CAST(length({redacted}) AS INT) AS redacted_len,
+       {d.rolling_hash(redacted)} AS redacted_hash
+FROM pii_docs
+"""
+
+
+register_sql("pii_scrub", _pii_scrub, tables=[])
+
+
+CONTAM_N = 8  # 8-gram shingles, the usual benchmark-contamination window
+CONTAM_MOD = 1000000007
+
+
+def _contamination_check(dialect: str) -> str:
+    """Benchmark-contamination check — per corpus doc, the fraction of its
+    distinct 8-gram shingles that appear ANYWHERE in a held-out benchmark
+    set (doc_id % 101 = 0 plays the benchmark; the corpus sample is
+    doc_id % 10 = 1). The dedup-side precaution every eval depends on.
+
+    Plan shape: both sides reduce to DISTINCT shingle hashes BEFORE the
+    join — the benchmark side to a global distinct-h set, the corpus side
+    to per-doc distinct — so the equi-join fan-out is at most 1 per
+    (corpus doc, h): linear in corpus shingles, no hot-key quadratics (the
+    blowup the spans operator needed a df-cap for cannot occur here).
+    Only docs with at least one shared shingle are emitted."""
+    d = D(dialect)
+    toks = d.split_ws("text")
+    # 8 token-hashes folded left-to-right: ((h0*31 + h1) % M)*31 + h2 ...
+    def fold(idx_expr: callable) -> str:
+        acc = idx_expr(0)
+        for i in range(1, CONTAM_N):
+            acc = f"(({acc}) * 31 + {idx_expr(i)}) % {CONTAM_MOD}"
+        return acc
+
+    if dialect == SPARK:
+        th = f"transform({toks}, t -> {d.rolling_hash('t', CONTAM_MOD)})"
+        shingles = lambda src, who: f"""
+  SELECT doc_id, ({fold(lambda i: f"th_a[j + {i}]")}) % {CONTAM_MOD} AS h
+  FROM (SELECT doc_id, {th} AS th_a FROM ({src}) _s WHERE {d.arr_len(toks)} >= {CONTAM_N}) _t
+  LATERAL VIEW explode(sequence(0, size(th_a) - {CONTAM_N})) _j AS j"""
+    else:
+        th = f"list_transform({toks}, t -> {d.rolling_hash('t', CONTAM_MOD)})"
+        shingles = lambda src, who: f"""
+  SELECT doc_id, ({fold(lambda i: f"th_a[j + {i + 1}]")}) % {CONTAM_MOD} AS h
+  FROM (SELECT doc_id, th_a, unnest(generate_series(0, len(th_a) - {CONTAM_N})) AS j
+        FROM (SELECT doc_id, {th} AS th_a FROM ({src}) _s WHERE {d.arr_len(toks)} >= {CONTAM_N}) _t) _j"""
+    bench_src = "SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0"
+    # Planted contamination: every third corpus doc embeds a full benchmark
+    # doc verbatim ((doc_id % 4) * 101 stays a valid benchmark id at every
+    # scale factor), so the operator is non-vacuous and the fraction
+    # gradient (partial vs total overlap) is exercised at any sf.
+    corpus_src = f"""
+    SELECT c.doc_id,
+           CASE WHEN c.doc_id % 3 = 1 AND b.text IS NOT NULL
+                THEN {d.fmt('%s %s', 'c.text', 'b.text')} ELSE c.text END AS text
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1) c
+    LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0) b
+      ON b.doc_id = (c.doc_id % 4) * 101"""
+    return f"""
+WITH bench_h AS (SELECT DISTINCT h FROM ({shingles(bench_src, 'bench')}) _b),
+corpus_h AS (SELECT DISTINCT doc_id, h FROM ({shingles(corpus_src, 'corpus')}) _c),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus_h GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM corpus_h c JOIN bench_h b ON b.h = c.h
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared / CAST(t.n_shingles AS DOUBLE), 6) AS contamination_frac
+FROM totals t JOIN shared s ON s.doc_id = t.doc_id
+"""
+
+
+register_sql("contamination_check", _contamination_check, tables=[])
