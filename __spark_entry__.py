@@ -35,6 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # token_budget_sample two-pass, taco split fix).
 _PRIORITY = [
     "ann_ivf",
+    "spatial_join_pip_adaptive",
+    "pii_scrub",
+    "contamination_check",
     "duplicate_ngram_spans",
     "token_budget_sample",
     "ann_lsh_bucketed",
