@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "ann_ivf",
     "spatial_join_pip_adaptive",
+    "kmeans_embeddings",
+    "kmeans_sizes",
     "pii_scrub",
     "contamination_check",
     "duplicate_ngram_spans",

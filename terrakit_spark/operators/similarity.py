@@ -316,3 +316,94 @@ def ann_lsh_capped(spark: SparkSession, sf_dir: str, max_bucket: int) -> DataFra
     """The same operator with an explicit bucket cap (test helper)."""
     ensure_base_views(spark, sf_dir)
     return spark.sql(_lsh_body(SPARK, max_bucket=max_bucket))
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_embeddings(dialect: str) -> str:
+    """Seeded k-means over the embedding table — the corpus-organization
+    pass (domain clustering / codebook training) every large corpus build
+    runs, expressed as KMEANS_ITERS unrolled Lloyd rounds of declarative
+    SQL (the fixed-iteration form of the iterative algorithm; the IVF
+    operator consumes exactly this kind of codebook).
+
+    Exactness discipline (what makes an ITERATIVE ML op value-oracle-able):
+    vectors are the quantized int64 embeddings, seeds are the first K
+    vectors by vec_id, assignment is exact-integer squared distance
+    (|x|^2 - 2x.c + |c|^2, ties to the smaller centroid id), and the
+    centroid UPDATE is the per-dimension mean ROUNDED to int64
+    (floor(sum/count + 0.5)) — so every round's state is integral and both
+    engines walk bit-identical trajectories. K x N assignment work per
+    round (the sanctioned fixed-size-codebook nested loop, broadcast
+    side = K rows); the per-dim update is one map-combinable explode +
+    aggregate. Output: final assignment + exact int distance per vector,
+    plus each vector's norm so cluster quality is reconstructable."""
+    d = D(dialect)
+    vecs = f"SELECT vec_id, {_quant(d, 'embedding')} AS qe FROM embeddings"
+    seeds = f"SELECT vec_id AS cid, qe AS cvec FROM vecs WHERE vec_id < {KMEANS_K}"
+    dist2 = (
+        f"{_dot(d, 'v.qe', 'v.qe')} - 2 * {_dot(d, 'v.qe', 'c.cvec')} + {_dot(d, 'c.cvec', 'c.cvec')}"
+    )
+
+    def assign(cin: str, aout: str) -> str:
+        return f"""
+{aout} AS (
+  SELECT vec_id, qe, cid, d2 FROM (
+    SELECT v.vec_id, v.qe, c.cid, {dist2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist2} ASC, c.cid ASC) AS rn
+    FROM vecs v CROSS JOIN {cin} c
+  ) _r WHERE rn = 1
+)"""
+
+    if dialect == SPARK:
+        dims = "LATERAL VIEW posexplode(qe) _d AS i, val"
+        exploded = lambda ain: f"SELECT cid, i, val FROM {ain} {dims}"
+        repack = "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+    else:
+        exploded = lambda ain: (
+            f"SELECT cid, unnest(generate_series(0, len(qe) - 1)) AS i, unnest(qe) AS val FROM {ain}"
+        )
+        repack = "list(m ORDER BY i)"
+
+    def update(ain: str, cout: str) -> str:
+        return f"""
+{cout} AS (
+  SELECT cid, {repack} AS cvec
+  FROM (SELECT cid, i, CAST(floor(sum(val) * 1.0 / count(*) + 0.5) AS BIGINT) AS m
+        FROM ({exploded(ain)}) _e GROUP BY cid, i) _m
+  GROUP BY cid
+)"""
+
+    ctes = [f"vecs AS ({vecs})", f"c0 AS ({seeds})"]
+    for it in range(KMEANS_ITERS):
+        ctes.append(assign(f"c{it}", f"a{it}").strip())
+        if it < KMEANS_ITERS - 1:
+            ctes.append(update(f"a{it}", f"c{it + 1}").strip())
+    final = f"a{KMEANS_ITERS - 1}"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2,
+       CAST({_dot(D(dialect), 'qe', 'qe')} AS BIGINT) AS norm2
+FROM {final}
+"""
+
+
+register_sql("kmeans_embeddings", _kmeans_embeddings, tables=[])
+
+
+def _kmeans_sizes(dialect: str) -> str:
+    """Cluster-size + inertia rollup of the k-means assignment — the
+    one-line corpus-mix report (and the convergence diagnostic: total
+    inertia is the Lloyd objective after KMEANS_ITERS rounds)."""
+    return f"""
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(dist2) AS BIGINT) AS inertia
+FROM ({_kmeans_embeddings(dialect)}) _a
+GROUP BY cluster_id
+"""
+
+
+register_sql("kmeans_sizes", _kmeans_sizes, tables=[])
