@@ -166,3 +166,22 @@ def test_bucketed_join_avoids_shuffle(synth, spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_round4_queries_plan_shapes(synth, spark, sf_dir):
+    """Round-4 operators keep the plan discipline: the contamination check
+    joins distinct shingle hashes on equality (hash join, never cartesian);
+    pii_scrub is one codegen scan with no join or exchange-heavy shape;
+    k-means' only nested loop is the sanctioned fixed-K codebook cross
+    join (8 broadcast rows per round) while its centroid updates are hash
+    aggregates."""
+    plan = _plan(QUERIES["contamination_check"](spark, sf_dir))
+    assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+    assert "CartesianProduct" not in plan
+
+    pii = _plan(QUERIES["pii_scrub"](spark, sf_dir))
+    assert "Join" not in pii and "*(1)" in pii  # one codegen'd scan, no join
+
+    km = _plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in km  # K-row side goes broadcast
+    assert "HashAggregate" in km
