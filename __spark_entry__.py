@@ -38,6 +38,7 @@ _PRIORITY = [
     "spatial_join_pip_adaptive",
     "kmeans_embeddings",
     "kmeans_sizes",
+    "ann_ivf_kmeans",
     "pii_scrub",
     "contamination_check",
     "duplicate_ngram_spans",

@@ -322,7 +322,7 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _kmeans_embeddings(dialect: str) -> str:
+def _kmeans_ctes(dialect: str) -> list:
     """Seeded k-means over the embedding table — the corpus-organization
     pass (domain clustering / codebook training) every large corpus build
     runs, expressed as KMEANS_ITERS unrolled Lloyd rounds of declarative
@@ -381,7 +381,18 @@ def _kmeans_embeddings(dialect: str) -> str:
         ctes.append(assign(f"c{it}", f"a{it}").strip())
         if it < KMEANS_ITERS - 1:
             ctes.append(update(f"a{it}", f"c{it + 1}").strip())
-    final = f"a{KMEANS_ITERS - 1}"
+    return ctes
+
+
+def _kmeans_chain(dialect: str) -> tuple[list, str, str]:
+    """(CTE list, final-assignment name, final-centroid name) — the Lloyd
+    chain shared by the kmeans queries and the IVF-over-trained-codebook
+    composition."""
+    return _kmeans_ctes(dialect), f"a{KMEANS_ITERS - 1}", f"c{KMEANS_ITERS - 1}"
+
+
+def _kmeans_embeddings(dialect: str) -> str:
+    ctes, final, _cent = _kmeans_chain(dialect)
     return f"""
 WITH {', '.join(ctes)}
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2,
@@ -407,3 +418,53 @@ GROUP BY cluster_id
 
 
 register_sql("kmeans_sizes", _kmeans_sizes, tables=[])
+
+
+IVF_KM_NPROBE = 2
+
+
+def _ann_ivf_kmeans(dialect: str) -> str:
+    """IVF ANN over the TRAINED k-means codebook — the composition the
+    ann_ivf docstring promises ('a deterministic sample standing in for a
+    trained k-means codebook'): the Lloyd chain trains KMEANS_K centroids,
+    its final assignment IS the inverted-list build (no second assignment
+    pass), a query probes its IVF_KM_NPROBE nearest centroids by the same
+    exact-integer squared distance the training used, and only those
+    centroids' lists are scored by exact quantized cosine. Deterministic
+    end to end -> exact value oracle, like every other query here.
+
+    Plan: the probe side is a KMEANS_K-row broadcast nested loop (the
+    sanctioned fixed-size codebook scan); the list join keys on centroid
+    id (equi-join; hot lists split by AQE)."""
+    d = D(dialect)
+    ctes, final_assign, final_cent = _kmeans_chain(dialect)
+    pdist2 = (
+        f"{_dot(d, 'q.qe', 'q.qe')} - 2 * {_dot(d, 'q.qe', 'c.cvec')} + {_dot(d, 'c.cvec', 'c.cvec')}"
+    )
+    scos = (
+        f"CAST({_dot(d, 'q.qe', 'v.qe')} AS DOUBLE)"
+        f" / sqrt(CAST({_dot(d, 'q.qe', 'q.qe')} AS DOUBLE) * CAST({_dot(d, 'v.qe', 'v.qe')} AS DOUBLE))"
+    )
+    probes = f"""
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.cid, {pdist2} AS pd2,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {pdist2} ASC, c.cid ASC) AS rn
+    FROM (SELECT vec_id, qe FROM vecs WHERE {QUERY_PRED}) q CROSS JOIN {final_cent} c
+  ) _p WHERE rn <= {IVF_KM_NPROBE}
+)"""
+    return f"""
+WITH {', '.join(ctes)}, {probes.strip()}
+SELECT qid, rank, vec_id, cos_sim FROM (
+  SELECT p.qid, v.vec_id, {scos} AS cos_sim,
+         row_number() OVER (PARTITION BY p.qid ORDER BY {scos} DESC, v.vec_id ASC) AS rank
+  FROM probes p
+  JOIN {final_assign} a ON a.cid = p.cid
+  JOIN vecs v ON v.vec_id = a.vec_id AND v.vec_id <> p.qid
+  JOIN vecs q ON q.vec_id = p.qid
+  WHERE {_dot(d, 'v.qe', 'v.qe')} > 0 AND {_dot(d, 'q.qe', 'q.qe')} > 0
+) _r WHERE rank <= {TOPK}
+"""
+
+
+register_sql("ann_ivf_kmeans", _ann_ivf_kmeans, tables=[])

@@ -138,3 +138,19 @@ def test_lsh_bucket_cap_binds(synth, spark, sf_dir):
     # and some bucket actually exceeded the cap (the cap BINDS here)
     biggest = lsh_buckets(spark, sf_dir).groupBy("t", "bucket").count().agg(F.max("count")).collect()[0][0]
     assert biggest > cap
+
+
+def test_ivf_kmeans_lift_against_bruteforce(synth, spark, sf_dir):
+    """IVF over the TRAINED codebook: same lift contract as the LSH path —
+    scoring only nprobe/K of the lists must recover true neighbours above
+    the scored-candidate fraction (on isotropic worst-case embeddings)."""
+    from terrakit_spark.operators.similarity import IVF_KM_NPROBE, KMEANS_K
+
+    exact = QUERIES["ann_topk_quantized"](spark, sf_dir).select("qid", "vec_id").cache()
+    approx = QUERIES["ann_ivf_kmeans"](spark, sf_dir).select("qid", "vec_id").cache()
+    n_exact = exact.count()
+    recall = exact.join(approx, ["qid", "vec_id"], "inner").count() / n_exact
+    # clusters are near-balanced (pinned by the kmeans_sizes oracle), so the
+    # scored fraction is ~nprobe/K; lift = recall above that fraction
+    fraction = IVF_KM_NPROBE / KMEANS_K
+    assert recall > 1.1 * fraction, f"recall={recall:.4f} fraction~{fraction:.4f}"
