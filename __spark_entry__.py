@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "ann_ivf",
     "spatial_join_pip_adaptive",
+    "spatial_join_pip_sampled",
     "kmeans_embeddings",
     "kmeans_sizes",
     "ann_ivf_kmeans",

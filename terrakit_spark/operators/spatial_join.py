@@ -35,6 +35,7 @@ def cell_pip_join(
     broadcast_polys: bool = False,
     n_salts: int = 0,
     cell_deg: float = 0.125,
+    candidate_filter=None,
 ) -> DataFrame:
     """points(px, py, ...) x polys(xmin..ymax bbox cols, vertices flat
     [x0,y0,...], ...) -> matched pairs (all columns from both sides).
@@ -55,6 +56,10 @@ def cell_pip_join(
     # converts the shuffle join to broadcast at runtime when it IS small.
     right = F.broadcast(g) if broadcast_polys and n_salts == 0 else g
     cand = p.join(right, on=on, how="inner")
+    if candidate_filter is not None:
+        # join-key-only predicate applied BEFORE the refine: the sampled
+        # join skips the ray-cast (and the output) for unsampled pairs
+        cand = cand.filter(candidate_filter)
     # exact refine: Arrow-batched ray-cast UDF. (A pure-SQL higher-order
     # ray-cast was measured 4x SLOWER — Spark HOFs don't codegen; the Arrow
     # round-trip beats interpreted per-edge lambdas. Spark only ships the
@@ -246,3 +251,51 @@ def spatial_join_pip_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_df("spatial_join_pip_adaptive", spatial_join_pip_adaptive, oracle=_ORACLE)
+
+
+SAMPLE_MOD = 7  # keep ~1/7 of join-output pairs
+
+
+def _sample_pred(d: D) -> str:
+    """Join-key-only sampling predicate (Random Sampling over Spatial Range
+    Joins, ICDE 2025, simplified to a deterministic hash design): a pair
+    survives iff a portable hash of ITS KEYS lands in the sample. Because
+    the predicate needs only (media_ref, label_id) — both available at
+    candidate time — it pushes BELOW the exact PIP refine, so the ray-cast
+    and the output are paid only for sampled pairs. Membership is
+    independent of cell resolution, salting, and partitioning."""
+    h = d.rolling_hash("media_ref")
+    return f"(({h} + label_id * 31) % {SAMPLE_MOD}) = 0"
+
+
+def spatial_join_pip_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/SAMPLE_MOD uniform-by-hash sample of the spatial-join OUTPUT
+    without computing the full join — the answer to the density lesson of
+    the sf1 run (join output grows ~quadratically with density; analyses
+    over it usually need a sample, not the full pair set). The oracle is
+    the full-join oracle plus the IDENTICAL sampling predicate, so the
+    sample's exact membership is value-checked, not just its size."""
+    _register_views(spark, sf_dir)
+    points = spark.table("media").select("media_ref", "mx", "my")
+    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    pred = F.expr(_sample_pred(D(SPARK)))
+    return cell_pip_join(points, polys, candidate_filter=pred).select("media_ref", "label_id")
+
+
+_SAMPLED_ORACLE = with_synth(
+    DUCK,
+    f"""
+SELECT p.media_ref, l.label_id
+FROM (SELECT media_ref, mx, my,
+             CAST(floor(mx + 1.8e2) AS BIGINT) AS cell_x,
+             CAST(floor(my + 9.0e1) AS BIGINT) AS cell_y
+      FROM media) p
+JOIN ({_cover_cells_cte(D(DUCK))}) l
+  ON p.cell_x = l.cell_x AND p.cell_y = l.cell_y
+WHERE abs(p.mx - l.cx) / l.rx + abs(p.my - l.cy) / l.ry < 1
+  AND (({D(DUCK).rolling_hash('p.media_ref')} + l.label_id * 31) % {SAMPLE_MOD}) = 0
+""",
+    tables=["labels", "media"],
+)
+
+register_df("spatial_join_pip_sampled", spatial_join_pip_sampled, oracle=_SAMPLED_ORACLE)
