@@ -28,43 +28,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# LRU rotation (round-3 verdict item 1): the 22 queries with no r3 driver
-# row go FIRST so a capped driver pass re-reaches them. ann_ivf leads —
-# its codebook was rewritten in round 3 after its last driver row, plus
-# the operators whose code changed THIS round (duplicate_ngram_spans cap,
-# token_budget_sample two-pass, taco split fix).
+# LRU rotation (round-4 verdict item 2): the 29 queries with no r4 driver
+# row go FIRST so a capped driver pass re-reaches them. shp_roundtrip
+# leads — its sink was hardened in round 4 (sinks/shapefile.py overwrite
+# guard + accumulator count) AFTER its last driver row, the exact pattern
+# that left ann_ivf stale in round 3. Then the operators whose code
+# changes THIS round (spatial_join default cell selector, burn kernel,
+# top_orders_window plan), then the rest of the r3-only cohort.
 _PRIORITY = [
-    "ann_ivf",
-    "spatial_join_pip_adaptive",
-    "spatial_join_pip_sampled",
-    "kmeans_embeddings",
-    "kmeans_sizes",
-    "ann_ivf_kmeans",
-    "pii_scrub",
-    "contamination_check",
-    "duplicate_ngram_spans",
-    "token_budget_sample",
-    "ann_lsh_bucketed",
-    "ann_topk_quantized",
+    "shp_roundtrip",
+    "wkb_roundtrip",
+    # --- code changed in round 5 (re-prove after edit) ---
+    "spatial_join_pip",
     "burn_histogram",
-    "chip_pipeline_full",
-    "dataset_package",
-    "dataset_package_counts",
-    "dataset_stats_quirk",
-    "distinct_dates",
-    "media_decode_features",
-    "media_frame_sample",
-    "media_resize",
-    "pipeline_skip_zero",
-    "pipeline_summary_small",
-    "pricing_summary",
-    "raster_polygonize",
-    "region_rollup",
-    "sessionize_events",
-    "split_assign",
-    "split_counts",
-    "temporal_range_filter",
+    "burn_histogram_nodata",
     "top_orders_window",
+    "pipeline_summary_small",
+    "chip_pipeline_full",
+    # --- rest of the no-r4-row cohort (r3-green, rotate back in) ---
+    "knn_grid",
+    "labels_load",
+    "metadata_lookup",
+    "grouped_bbox",
+    "window_grid",
+    "chip_inventory",
+    "bbox_tile_grid",
+    "bbox_clip_360",
+    "curvilinear_clip",
+    "quadkey_cells",
+    "max_composite",
+    "first_valid_mosaic",
+    "dup_ts_merge",
+    "label_tally",
+    "vrt_window_stats",
+    "rest_point_forecast",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "repetition_signals",
+    "hll_distinct_tokens",
+    "corpus_curation",
+    "curation_rollup_cube",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -23,7 +23,13 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def _top_orders(dialect: str) -> str:
-    # TPC-H Q3 shape with deterministic tie-breaking
+    # TPC-H Q3 shape with deterministic tie-breaking. Top-10 is expressed
+    # as ORDER BY ... LIMIT (Spark: TakeOrderedAndProject — per-partition
+    # heaps merged on the driver), NOT row_number() over an unpartitioned
+    # window: a global ranking window collapses every aggregated row into
+    # ONE partition before ranking — the round-4 perf_weak item. Ordering
+    # uses the UNROUNDED revenue (what the window version ranked by) so
+    # ties that round to the same cent keep the identical winner set.
     from terrakit_spark.dialect import D
 
     d = D(dialect)
@@ -32,8 +38,8 @@ def _top_orders(dialect: str) -> str:
 SELECT o_orderkey, revenue, o_orderdate_str FROM (
   SELECT o.o_orderkey,
          round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-         {odate} AS o_orderdate_str,
-         row_number() OVER (ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey ASC) AS rn
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS _rev_exact,
+         {odate} AS o_orderdate_str
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -41,7 +47,9 @@ SELECT o_orderkey, revenue, o_orderdate_str FROM (
     AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
     AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
   GROUP BY o.o_orderkey, {odate}
-) t WHERE rn <= 10
+  ORDER BY _rev_exact DESC, o.o_orderkey ASC
+  LIMIT 10
+) t
 """
 
 

@@ -34,8 +34,14 @@ MIX_MOD = 1000000007  # prime mixing mod: breaks % 100's linearity in key
 
 
 def split_bucket_sql(key: str) -> str:
-    """Overflow-safe, mixed bucket in [0, 100), identical text in both dialects."""
-    return f"(((((({key}) % {SPLIT_MOD}) * {KNUTH}) % {MIX_MOD}) % 100) + 100) % 100"
+    """Overflow-safe, mixed bucket in [0, 100), identical text in both
+    dialects. The first reduction is a sign-safe pmod (not a bare `%`) so
+    negative keys take the SAME bucket as the Column twin below — `%` is
+    truncated (sign-carrying) in both Spark and DuckDB, and a negative
+    intermediate would route through a different residue chain than
+    F.pmod. ((k % M) + M) stays below 2*SPLIT_MOD ~ 6.1e18 < 2^63."""
+    k = f"(((({key}) % {SPLIT_MOD}) + {SPLIT_MOD}) % {SPLIT_MOD})"
+    return f"((((({k} * {KNUTH}) % {MIX_MOD}) % 100) + 100) % 100)"
 
 
 def split_case_sql(key: str) -> str:

@@ -185,3 +185,13 @@ def test_round4_queries_plan_shapes(synth, spark, sf_dir):
     km = _plan(QUERIES["kmeans_embeddings"](spark, sf_dir))
     assert "CartesianProduct" not in km  # K-row side goes broadcast
     assert "HashAggregate" in km
+
+
+def test_top_orders_is_take_ordered_not_global_window(synth, spark, sf_dir):
+    """Top-10 must run as TakeOrderedAndProject (per-partition heaps, driver
+    merge) — never a row_number() over an UNPARTITIONED window, which pulls
+    every aggregated row into one partition before ranking (the round-4
+    perf_weak item)."""
+    plan = _plan(QUERIES["top_orders_window"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]

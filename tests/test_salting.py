@@ -33,11 +33,14 @@ def test_adaptive_cell_join_exactness(synth, spark, sf_dir):
     points = spark.table("media").select("media_ref", "mx", "my")
     polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
 
+    import math
+
     deg = adaptive_cell_deg(points, "mx", "my", polys)
-    assert 1.0 / 256 <= deg <= 1.0 and (deg & -deg if isinstance(deg, int) else True)
+    assert 1.0 / 256 <= deg <= 1.0
+    assert math.log2(deg).is_integer()  # nested/deterministic power-of-two grid
     base = {
         (r.media_ref, r.label_id)
-        for r in cell_pip_join(points, polys).select("media_ref", "label_id").collect()
+        for r in cell_pip_join(points, polys, cell_deg=0.125).select("media_ref", "label_id").collect()
     }
     adaptive = {
         (r.media_ref, r.label_id)
