@@ -75,3 +75,54 @@ def test_burn_order_later_wins():
     assert (img == 2).any() and (img == 1).any()
     overlap = (img == 2) & (img_rev == 1)
     assert overlap.any()  # same pixels flip with order -> order is honoured
+
+
+def test_edge_kernel_bit_identical_to_painter():
+    """The batched edge-table kernel (the >=24-poly dispatch path) must be
+    BIT-identical to the occlusion painter for any polygon soup: same
+    ray-cast predicate, same last-wins burn order, both fill values."""
+    import numpy as np
+
+    from terrakit_spark.operators.rasterize import _burn_image_edges, _burn_image_painter
+    from terrakit_spark.synth import RES
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 800))
+        w = int(rng.integers(8, 160))
+        h = int(rng.integers(8, 160))
+        xmin, ymax = -10.0, 5.0
+        polys, classes = [], []
+        for _ in range(n):
+            cx = xmin + rng.uniform(-0.1, w * RES + 0.1)
+            cy = ymax - rng.uniform(-0.1, h * RES + 0.1)
+            rx = rng.uniform(0.1 * RES, 30 * RES)
+            ry = rng.uniform(0.1 * RES, 30 * RES)
+            polys.append(np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]]))
+            classes.append(int(rng.integers(1, 9)))
+        for fill in (0, -1):
+            a = _burn_image_painter(w, h, xmin, ymax, polys, classes, fill=fill)
+            b = _burn_image_edges(w, h, xmin, ymax, polys, classes, RES, fill)
+            assert b is not None and np.array_equal(a, b), f"seed={seed} fill={fill}"
+
+
+def test_edge_kernel_vertex_on_pixel_center():
+    """Diamond vertices exactly on pixel centers/edges — the strict
+    crossing convention must agree between kernels at the boundary."""
+    import numpy as np
+
+    from terrakit_spark.operators.rasterize import _burn_image_edges, _burn_image_painter
+    from terrakit_spark.synth import RES
+
+    w = h = 48
+    xmin, ymax = 0.0, h * RES
+    polys, classes = [], []
+    for i in range(40):
+        cx = xmin + (i % w + 0.5) * RES
+        cy = ymax - (i % h + 0.5) * RES
+        r = (1 + i % 7) * RES
+        polys.append(np.array([[cx - r, cy], [cx, cy - r], [cx + r, cy], [cx, cy + r]]))
+        classes.append(i % 5 + 1)
+    a = _burn_image_painter(w, h, xmin, ymax, polys, classes)
+    b = _burn_image_edges(w, h, xmin, ymax, polys, classes, RES, 0)
+    assert b is not None and np.array_equal(a, b)
