@@ -81,6 +81,52 @@ SCALING_SCENE_PRED = os.environ.get("SPARK_GRAFT_SCALING_PRED", "(scene_id % 5) 
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 
 
+# ------------------------------------------------------------- epoch guard
+# The sandbox host has multi-minute noisy-neighbour epochs that can inflate
+# an identical job 2-8x (BENCH/BASELINE.md campaign notes; BENCH_r04's 50.5s
+# official record was such an artifact). Before each timed repeat, a pure
+# whole-stage-codegen control (range -> sum(pmod(xxhash64)), zero Python,
+# zero shuffle beyond the final reduce) measures the PLATFORM's current
+# speed; if it reads degraded vs the historical reference the bench sleeps
+# until the epoch clears (bounded by SPARK_GRAFT_EPOCH_WAIT seconds total).
+# The control samples land in the output JSON so the record carries its own
+# epoch evidence.
+CEILING_REF_PER_CORE = 3.0 * 32  # historical: 6e9 rows / 32 cores = 3.0 s
+EPOCH_TOLERANCE = float(os.environ.get("SPARK_GRAFT_EPOCH_TOLERANCE", "1.25"))
+EPOCH_WAIT_BUDGET = int(os.environ.get("SPARK_GRAFT_EPOCH_WAIT", "600"))
+
+
+def _codegen_control(spark, cores: int) -> float:
+    from pyspark.sql import functions as F
+
+    n_rows = int(1.875e8 * cores)  # ~3 s in a clean epoch at any core count
+    t0 = time.time()
+    spark.range(n_rows, numPartitions=cores * 4).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))
+    ).collect()
+    return time.time() - t0
+
+
+def _wait_good_epoch(spark, cores: int, state: dict) -> float:
+    """Sample the control; sleep through degraded epochs until it reads
+    within EPOCH_TOLERANCE of the reference or the wait budget is spent.
+    Returns the last control sample (always recorded)."""
+    ref = CEILING_REF_PER_CORE / cores
+    while True:
+        c = _codegen_control(spark, cores)
+        state.setdefault("samples", []).append(round(c, 2))
+        if c <= ref * EPOCH_TOLERANCE or state.get("waited", 0) >= EPOCH_WAIT_BUDGET:
+            return c
+        nap = min(45, EPOCH_WAIT_BUDGET - state.get("waited", 0))
+        print(
+            f"[epoch guard] control {c:.2f}s vs ref {ref:.2f}s — degraded epoch, "
+            f"sleeping {nap}s",
+            file=sys.stderr,
+        )
+        time.sleep(nap)
+        state["waited"] = state.get("waited", 0) + nap
+
+
 def run_scaling_level(spark, sf_dir: str, cores: int, reps: int | None = None) -> tuple[dict[str, float], int]:
     """The scaling JOB is the end-to-end dataset-generation pipeline (the
     reference's entire purpose): as-of match -> spatial burn -> chip ->
@@ -124,9 +170,11 @@ def main() -> None:
         # same (possibly bad) epoch; alternating levels decorrelates it.
         best: dict[str, dict[str, float]] = {"8": {}, "32": {}}
         rows_by_level: dict[str, int] = {}
+        guard: dict = {}
         for rep in range(SCALING_REPS):
             for n in ("8", "32"):
                 spark = _build_session(n)
+                _wait_good_epoch(spark, int(n), guard)
                 timings, rows = run_scaling_level(spark, SF_DIR, int(n), reps=1)
                 rows_by_level[n] = rows
                 for q, t in timings.items():
@@ -143,7 +191,16 @@ def main() -> None:
             }
         t8, t32 = results["8"]["sec"], results["32"]["sec"]
         eff = (t8 / t32) / 4.0
-        print(json.dumps({"scaling": results, "speedup_8_to_32": round(t8 / t32, 3), "efficiency": round(eff, 3)}))
+        print(
+            json.dumps(
+                {
+                    "scaling": results,
+                    "speedup_8_to_32": round(t8 / t32, 3),
+                    "efficiency": round(eff, 3),
+                    "epoch_control": guard,
+                }
+            )
+        )
         return
 
     spark = _build_session(CPUS)
@@ -158,7 +215,12 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     best: dict[str, float] = {}
     rows = 0
+    guard: dict = {}
     for rep in range(reps):
+        # the control doubles as the repeat spacer: repeats never run
+        # back-to-back inside one (possibly bad) epoch, and each repeat's
+        # platform speed is on the record
+        _wait_good_epoch(spark, int(CPUS), guard)
         timings, r = run_queries(spark, SF_DIR)
         if rep == 0:
             rows = r
@@ -178,6 +240,7 @@ def main() -> None:
                 "rows_out": rows,
                 "rows_per_sec": round(rows / total, 1),
                 "cpus": int(CPUS),
+                "epoch_control": guard,
             }
         )
     )
