@@ -375,7 +375,16 @@ def scene_label_pairs(spark: SparkSession, scenes_sql_pred: str) -> DataFrame:
     bbox-overlap refine — candidate pruning where the reference brute-forces
     every label against every raster. Both sides explode to cover cells;
     the join is a hash equi-join on cell (broadcast while the label side is
-    small, shuffled+AQE-skew-split at scale)."""
+    small, shuffled+AQE-skew-split at scale).
+
+    The cell resolution comes from the density-adaptive selector (labels
+    as the density side, scenes as the extent floor — scene bboxes are the
+    big geometry, so the floor keeps their cover-cell replication bounded);
+    cell size is a pruning knob only, every resolution yields the same
+    refined pairs (burn_histogram's oracle is the invariance proof).
+    TERRAKIT_ADAPTIVE_CELLS=0 restores the fixed 1-degree grid."""
+    from terrakit_spark.operators.spatial_join import _adaptive_default, adaptive_cell_deg
+
     scenes = spark.sql(
         f"SELECT scene_id, width, height, xmin, ymin, xmax, ymax FROM scenes WHERE {scenes_sql_pred}"
     )
@@ -386,8 +395,13 @@ def scene_label_pairs(spark: SparkSession, scenes_sql_pred: str) -> DataFrame:
         FROM labels
         """
     )
-    s = with_cover_cells(scenes, "xmin", "ymin", "xmax", "ymax", out="_cell")
-    l_cells = with_cover_cells(labels, "lxmin", "lymin", "lxmax", "lymax", out="_cell")
+    deg = (
+        adaptive_cell_deg(labels, "cx", "cy", scenes, target_per_cell=256.0)
+        if _adaptive_default()
+        else 1.0
+    )
+    s = with_cover_cells(scenes, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=deg)
+    l_cells = with_cover_cells(labels, "lxmin", "lymin", "lxmax", "lymax", out="_cell", cell_deg=deg)
     return (
         s.join(F.broadcast(l_cells), "_cell")
         .filter(
