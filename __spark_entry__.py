@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "shp_roundtrip",
     "wkb_roundtrip",
+    "tortilla_index",  # new in round 5 (K6 byte-level container)
     # --- code changed in round 5 (re-prove after edit) ---
     "spatial_join_pip",
     "burn_histogram",

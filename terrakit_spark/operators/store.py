@@ -57,3 +57,100 @@ GROUP BY data_split
 
 register_sql("dataset_package", _dataset_package, tables=["scenes"])
 register_sql("dataset_package_counts", _dataset_package_counts, tables=["scenes"])
+
+
+# --- K6 byte-level: tortilla container roundtrip (sinks/tortilla.py) ------
+#
+# The query runs the small-pred chip pipeline, packages the chips into
+# tortilla-style container shards (distributed foreachPartition write),
+# merges them into one two-level container (the reference's
+# tortilla-of-tortillas, store/taco.py:173-199), then READS THE CONTAINER
+# BACK and returns its flattened footer index — so the oracle checks what
+# the bytes on disk actually say, not the DataFrame that produced them.
+# burn_scar (the reference's label-mask value sum, taco.py:146-163) is
+# pinned per scene by the burn-histogram oracle's argmax-winner pixels:
+# small scenes are single-window chips, so chip mask == scene burn.
+
+
+def tortilla_index(spark, sf_dir: str):
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from terrakit_spark.operators.chips import SMALL_PRED_SQL
+    from terrakit_spark.operators.split import split_col
+    from terrakit_spark.pipeline import chip_pipeline
+    from terrakit_spark.sinks.geotiff import chips_with_geo
+    from terrakit_spark.sinks.tortilla import load_samples, merge_tortilla, write_tortilla_shards
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    work = f"/tmp/terrakit_tortilla_{base}"
+    final = os.path.join(work, "dataset.tortilla")
+    if not os.path.exists(final):  # deterministic fixture, idempotent
+        chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL)
+        scenes = spark.sql(f"SELECT * FROM scenes WHERE {SMALL_PRED_SQL}")
+        packaged = chips_with_geo(chips, scenes).withColumn(
+            "data_split", split_col(F.col("scene_id") * 1000 + F.col("win_index"))
+        )
+        shard_dir = os.path.join(work, "shards")
+        write_tortilla_shards(
+            packaged.repartition(4, "scene_id").sortWithinPartitions("scene_id", "win_index"),
+            shard_dir,
+        )
+        merge_tortilla(shard_dir, final + ".tmp")
+        os.replace(final + ".tmp", final)
+    idx = load_samples(final)
+    rows = [
+        (
+            str(r["tortilla:id"]),
+            str(r["tortilla:part"]),
+            str(r["tortilla:data_split"]),
+            str(r["stac:time_start"]),
+            None if pd_isna(r["burn_scar"]) else int(r["burn_scar"]),
+        )
+        for _, r in idx.iterrows()
+    ]
+    schema = StructType(
+        [
+            StructField("sample_id", StringType()),
+            StructField("part_id", StringType()),
+            StructField("data_split", StringType()),
+            StructField("time_start", StringType()),
+            StructField("burn_scar", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    return v is None or (pd.isna(v) if not isinstance(v, (list, tuple)) else False)
+
+
+def _tortilla_oracle() -> str:
+    from terrakit_spark.operators.pipeline_query import _pipeline_oracle
+    from terrakit_spark.operators.rasterize import BACKGROUND, _burn_oracle
+
+    # SMALL_PRED import kept local: operators.chips imports registry too
+    from terrakit_spark.operators.chips import SMALL_PRED_SQL
+
+    return f"""
+SELECT CAST(p.scene_id AS VARCHAR) || '_0' AS sample_id,
+       parts.part_id,
+       {split_case_sql("(p.scene_id * 1000 + 0)")} AS data_split,
+       p.scene_date_str AS time_start,
+       CASE WHEN parts.part_id = 'label' THEN CAST(coalesce(v.vsum, 0) AS BIGINT) END AS burn_scar
+FROM ({_pipeline_oracle(SMALL_PRED_SQL, rollup=False)}) p
+CROSS JOIN (SELECT 'image' AS part_id UNION ALL SELECT 'label') parts
+LEFT JOIN (
+  SELECT scene_id, sum(label_class * n_px) AS vsum
+  FROM ({_burn_oracle(BACKGROUND)}) h WHERE label_class > 0 GROUP BY scene_id
+) v ON v.scene_id = p.scene_id
+"""
+
+
+from terrakit_spark.registry import register_df  # noqa: E402
+
+register_df("tortilla_index", tortilla_index, oracle=_tortilla_oracle())

