@@ -31,11 +31,12 @@ NPZ = f"/tmp/hot_scene_{os.path.basename(SF_DIR.rstrip('/'))}.npz"
 
 
 def extract_hot_scene() -> None:
-    """One-time Spark pass: dump the hottest scene's burn input to NPZ."""
-    from pyspark.sql import functions as F
-
-    from terrakit_spark.operators.chips import SMALL_PRED_SQL
-    from terrakit_spark.operators.rasterize import scene_label_pairs
+    """One-time Spark pass: dump the hottest scene's burn input to NPZ.
+    No join — filter labels against one scene's bbox (at sf1 the
+    scene_label_pairs broadcast exceeds Spark's 8 GB table cap; the burn
+    input for ONE scene is a plain predicate scan). The hottest sf1 scene
+    (30088380, ~100k overlapping polys) was identified by the round-4
+    density profile; HOT_SCENE overrides."""
     from terrakit_spark.operators.spatial_join import _register_views, materialize_synth
     from terrakit_spark.session import get_spark
 
@@ -44,19 +45,26 @@ def extract_hot_scene() -> None:
                         ".work", f"bench_synth_{os.path.basename(SF_DIR.rstrip('/'))}")
     materialize_synth(spark, SF_DIR, work)
     _register_views(spark, SF_DIR)
-    pairs = scene_label_pairs(spark, SMALL_PRED_SQL).cache()
-    hot = pairs.groupBy("scene_id").count().orderBy(F.desc("count")).first()
-    pdf = pairs.filter(F.col("scene_id") == hot["scene_id"]).orderBy("geom_seq").toPandas()
+    hot_id = int(os.environ.get("HOT_SCENE", "30088380"))
+    s = spark.sql(f"SELECT * FROM scenes WHERE scene_id = {hot_id}").first()
+    pdf = spark.sql(
+        f"""
+        SELECT labelclass, geom_seq, cx, cy, rx, ry FROM labels
+        WHERE cx - rx <= {s.xmax} AND cx + rx >= {s.xmin}
+          AND cy - ry <= {s.ymax} AND cy + ry >= {s.ymin}
+        ORDER BY geom_seq
+        """
+    ).toPandas()
     np.savez(
         NPZ,
-        scene_id=hot["scene_id"],
-        width=int(pdf["width"].iloc[0]), height=int(pdf["height"].iloc[0]),
-        xmin=float(pdf["xmin"].iloc[0]), ymax=float(pdf["ymax"].iloc[0]),
+        scene_id=hot_id,
+        width=int(s.width), height=int(s.height),
+        xmin=float(s.xmin), ymax=float(s.ymax),
         cx=pdf["cx"].to_numpy(), cy=pdf["cy"].to_numpy(),
         rx=pdf["rx"].to_numpy(), ry=pdf["ry"].to_numpy(),
         cls=pdf["labelclass"].to_numpy(),
     )
-    print(f"extracted scene {hot['scene_id']}: {len(pdf)} polys -> {NPZ}", file=sys.stderr)
+    print(f"extracted scene {hot_id}: {len(pdf)} polys -> {NPZ}", file=sys.stderr)
     spark.stop()
 
 
@@ -87,6 +95,19 @@ def _copy_worker(args):
     return time.time() - t0
 
 
+def _compute_worker(args):
+    """Cache-resident compute control (no DRAM streaming): distinguishes
+    'cores unavailable (neighbour load)' from 'DRAM bandwidth wall' —
+    this one scales ~4x whenever 32 real cores exist."""
+    reps, _ = args
+    a = np.arange(100_000, dtype=np.float64)  # 800 KB, L2-resident
+    t0 = time.time()
+    for _ in range(reps):
+        for _ in range(20):
+            a = np.sin(a) * 1.0001
+    return time.time() - t0
+
+
 def level(worker, procs: int, reps: int, n_polys: int) -> float:
     """Aggregate tasks/sec with `procs` concurrent workers."""
     with mp.Pool(procs) as pool:
@@ -96,23 +117,35 @@ def level(worker, procs: int, reps: int, n_polys: int) -> float:
     return procs * reps / wall
 
 
+WORKLOADS = (
+    ("burn_hot", _burn_worker, 2, None),
+    ("burn_10k", _burn_worker, 8, 10_000),
+    ("memcpy_50MB", _copy_worker, 40, 0),
+    ("compute_L2", _compute_worker, 10, 0),
+)
+
+
 def main() -> None:
     if not os.path.exists(NPZ):
         extract_hot_scene()
     d = np.load(NPZ)
     n_full = len(d["cx"])
     out: dict = {"sf_dir": SF_DIR, "scene_polys": n_full}
-    for name, worker, reps, n_polys in (
-        ("burn_hot", _burn_worker, 2, n_full),
-        ("burn_10k", _burn_worker, 8, min(10_000, n_full)),
-        ("memcpy_50MB", _copy_worker, 40, 0),
-    ):
-        r = {}
+    best: dict[str, dict[str, float]] = {name: {} for name, *_ in WORKLOADS}
+    # interleave levels across repeats (same rationale as bench --scaling:
+    # consecutive same-level runs share one possibly-bad epoch)
+    for _ in range(2):
         for p in (8, 32):
-            r[str(p)] = round(level(worker, p, reps, n_polys), 3)
+            for name, worker, reps, n_polys in WORKLOADS:
+                n = n_full if n_polys is None else min(n_polys, n_full)
+                tput = level(worker, p, reps, n)
+                b = best[name]
+                b[str(p)] = max(b.get(str(p), 0.0), round(tput, 3))
+                print(json.dumps({name: {str(p): round(tput, 3)}}), file=sys.stderr)
+    for name, *_ in WORKLOADS:
+        r = best[name]
         r["efficiency"] = round(r["32"] / r["8"] / 4.0, 3)
         out[name] = r
-        print(json.dumps({name: r}), file=sys.stderr)
     print(json.dumps(out))
 
 

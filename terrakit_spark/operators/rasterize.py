@@ -114,12 +114,20 @@ def _burn_image_edges(
     parr = np.stack(polys)  # (n, V, 2) uniform vertex count
     V = parr.shape[1]
     cls_arr = np.asarray(classes, dtype=np.int32)
+    # All integer work below runs in int32 where the bound proves it fits.
+    # Measured neutral on speed (<=2% at 1 and at 32 concurrent workers,
+    # hot sf1 scene): the kernel is DRAM-streaming-bound (mp isolation:
+    # parallel efficiency 0.44 == the memcpy control, vs 0.75 for the
+    # cache-resident compute control) but the traffic is dominated by the
+    # float64 crossing math and image writes, not these index arrays.
+    # Kept for per-task footprint: 32 executor threads each hold the edge
+    # tables concurrently, and halving them buys spill headroom at scale.
     # per-poly crossed-row range in ascending (ys_rev) space, for culling
-    p_alo = np.searchsorted(ys_rev, parr[:, :, 1].min(axis=1), "left")
-    p_ahi = np.searchsorted(ys_rev, parr[:, :, 1].max(axis=1), "left")
+    p_alo = np.searchsorted(ys_rev, parr[:, :, 1].min(axis=1), "left").astype(np.int32)
+    p_ahi = np.searchsorted(ys_rev, parr[:, :, 1].max(axis=1), "left").astype(np.int32)
     # per-poly candidate column range (image space), for 2-D tile culling
-    p_xlo = np.searchsorted(xs, parr[:, :, 0].min(axis=1), "left")
-    p_xhi = np.searchsorted(xs, parr[:, :, 0].max(axis=1), "right")
+    p_xlo = np.searchsorted(xs, parr[:, :, 0].min(axis=1), "left").astype(np.int32)
+    p_xhi = np.searchsorted(xs, parr[:, :, 0].max(axis=1), "right").astype(np.int32)
 
     TS = 32  # tile size for the unset-occupancy grid (2-D occlusion cull)
     ty_edges = np.arange(0, height, TS)
@@ -159,20 +167,23 @@ def _burn_image_edges(
         yi = sub[:, :, 1].ravel()
         xj = np.roll(sub[:, :, 0], 1, axis=1).ravel()
         yj = np.roll(sub[:, :, 1], 1, axis=1).ravel()
-        poly_of_edge = np.repeat(np.arange(bp.size, dtype=np.int64), V)
+        poly_of_edge = np.repeat(np.arange(bp.size, dtype=np.int32), V)
 
         # scanlines crossed by each edge: pixel-center py in [min(y), max(y))
         # (matches ray_cast's strict (yi>py) != (yj>py) half-open convention)
-        a_lo = np.searchsorted(ys_rev, np.minimum(yi, yj), "left")
-        a_hi = np.searchsorted(ys_rev, np.maximum(yi, yj), "left")
+        a_lo = np.searchsorted(ys_rev, np.minimum(yi, yj), "left").astype(np.int32)
+        a_hi = np.searchsorted(ys_rev, np.maximum(yi, yj), "left").astype(np.int32)
         cnt = a_hi - a_lo  # 0 for horizontal edges (dy==0) and off-grid edges
-        keep = np.nonzero(cnt > 0)[0]
+        keep = np.nonzero(cnt > 0)[0].astype(np.int32)
         if keep.size == 0:
             continue
         kcnt = cnt[keep]
-        csum = np.concatenate(([0], np.cumsum(kcnt)))
+        csum64 = np.cumsum(kcnt, dtype=np.int64)
+        if csum64[-1] >= 2**31:  # arbitrary V x height could overflow int32
+            return None  # painter arbitrates (unreachable for diamond labels)
+        csum = np.concatenate(([np.int32(0)], csum64.astype(np.int32)))
         eid = np.repeat(keep, kcnt)
-        arow = a_lo[eid] + (np.arange(csum[-1]) - np.repeat(csum[:-1], kcnt))
+        arow = a_lo[eid] + (np.arange(csum[-1], dtype=np.int32) - np.repeat(csum[:-1], kcnt))
 
         # (poly, row)-level occlusion cull BEFORE the expensive crossing
         # math: drop every instance whose image row holds no unset pixel
@@ -204,7 +215,7 @@ def _burn_image_edges(
         # +-1 window suffices: the divided estimate's absolute error is a
         # few ulps of |t| (~1e-13 deg) while pixel spacing is res — the
         # estimate can land at most one index off the true flip
-        base = np.searchsorted(xs, t, "left") - 1
+        base = np.searchsorted(xs, t, "left").astype(np.int32) - 1
         pos = edy > 0
         f = base.copy()
         for off in range(3):  # exact predicate at the window; count trues
@@ -402,8 +413,12 @@ def scene_label_pairs(spark: SparkSession, scenes_sql_pred: str) -> DataFrame:
     )
     s = with_cover_cells(scenes, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=deg)
     l_cells = with_cover_cells(labels, "lxmin", "lymin", "lxmax", "lymax", out="_cell", cell_deg=deg)
+    # No forced broadcast hint: at sf0.1 the exploded label-cell side is a
+    # few MB and AQE converts the shuffle join to broadcast at runtime; at
+    # sf1+ it exceeds Spark's 8 GB broadcast hard cap (a forced hint
+    # ERRORS outright — measured in round 5) and the join must shuffle.
     return (
-        s.join(F.broadcast(l_cells), "_cell")
+        s.join(l_cells, "_cell")
         .filter(
             (F.col("lxmin") <= F.col("xmax"))
             & (F.col("lxmax") >= F.col("xmin"))
