@@ -36,6 +36,16 @@ BACKGROUND = 0  # /root/reference/terrakit/download/download_data.py:369
 BURN_EDGE_MIN_POLYS = 24  # below this the painter's fixed numpy cost wins
 
 
+def _edge_kernel_enabled() -> bool:
+    """A/B gate for scaling studies: TERRAKIT_EDGE_KERNEL=0 forces the
+    per-polygon painter (core-bound) so the two-level scaling pair can be
+    measured on both sides of the compute->bandwidth boundary. Read per
+    call (executors see the env via spark.executorEnv / inherited fork)."""
+    import os
+
+    return os.environ.get("TERRAKIT_EDGE_KERNEL", "1") != "0"
+
+
 def burn_image(
     width: int,
     height: int,
@@ -57,7 +67,7 @@ def burn_image(
     sf1 profile's named upgrade (hot sf1 scenes carry ~10^5 overlapping
     polygons => ~14 s/scene in the painter's per-poly loop; the edge
     kernel amortizes everything into whole-array numpy passes)."""
-    if len(polys) >= BURN_EDGE_MIN_POLYS:
+    if len(polys) >= BURN_EDGE_MIN_POLYS and _edge_kernel_enabled():
         out = _burn_image_edges(width, height, xmin, ymax, polys, classes, res, fill)
         if out is not None:
             return out
