@@ -79,6 +79,16 @@ def cell_pip_join(
         # join-key-only predicate applied BEFORE the refine: the sampled
         # join skips the ray-cast (and the output) for unsampled pairs
         cand = cand.filter(candidate_filter)
+    # JVM-side point-in-bbox prefilter BEFORE the Arrow refine: a cell is
+    # coarser than a polygon's bbox, so cell-candidates include points the
+    # bbox alone rejects — filtering them in whole-stage codegen means the
+    # Arrow transfer (px, py, AND the vertex array) never pays for them.
+    cand = cand.filter(
+        (F.col(px) >= F.col("xmin"))
+        & (F.col(px) <= F.col("xmax"))
+        & (F.col(py) >= F.col("ymin"))
+        & (F.col(py) <= F.col("ymax"))
+    )
     # exact refine: Arrow-batched ray-cast UDF. (A pure-SQL higher-order
     # ray-cast was measured 4x SLOWER — Spark HOFs don't codegen; the Arrow
     # round-trip beats interpreted per-edge lambdas. Spark only ships the
