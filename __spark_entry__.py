@@ -39,6 +39,7 @@ _PRIORITY = [
     "shp_roundtrip",
     "wkb_roundtrip",
     "tortilla_index",  # new in round 5 (K6 byte-level container)
+    "tortilla_read_back",  # new in round 5 (distributed payload reader)
     # --- code changed in round 5 (re-prove after edit) ---
     "spatial_join_pip",
     "burn_histogram",

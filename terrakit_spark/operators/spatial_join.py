@@ -110,7 +110,8 @@ def _diamond_polys(spark: SparkSession) -> DataFrame:
     )
 
 
-_MATERIALIZED: set[str] = set()
+_MATERIALIZED: dict[tuple[str, str], str] = {}  # (applicationId, sf_dir) -> work_dir
+_active_synth: dict[str, str] = {}  # applicationId -> sf_dir the synth views serve
 
 # Partition layout for the stored tables: (date column, lon column).
 # Each partitioned table gets derived p_date + p_cx (30-degree lon band)
@@ -126,11 +127,26 @@ _PARTITION_SPEC: dict[str, tuple[str, str]] = {
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Point the base AND derived-synth views at sf_dir. Memoized on the
+    ACTIVE sf_dir per session (not ever-registered): a session that
+    materialized one scale factor and is then queried at another must
+    re-point, not silently serve the old tables (measured: an sf1 query
+    returning sf0.1 rows). Switching back re-points at the already
+    materialized parquet — no rewrite."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    if _active_synth.get(app) == sf_dir:
+        return
     ensure_base_views(spark, sf_dir)
-    if spark.sparkContext.applicationId in _MATERIALIZED:
-        return  # synth views already point at materialized parquet
-    for name, fn in ALL_TABLES.items():
-        spark.sql(fn(SPARK)).createOrReplaceTempView(name)
+    work = _MATERIALIZED.get((app, sf_dir))
+    if work is not None:
+        for name in ALL_TABLES:
+            spark.read.parquet(os.path.join(work, name)).createOrReplaceTempView(name)
+    else:
+        for name, fn in ALL_TABLES.items():
+            spark.sql(fn(SPARK)).createOrReplaceTempView(name)
+    _active_synth[app] = sf_dir
 
 
 def materialize_synth(spark: SparkSession, sf_dir: str, work_dir: str) -> None:
@@ -153,7 +169,9 @@ def materialize_synth(spark: SparkSession, sf_dir: str, work_dir: str) -> None:
         else:
             df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
-    _MATERIALIZED.add(spark.sparkContext.applicationId)
+    app = spark.sparkContext.applicationId
+    _MATERIALIZED[(app, sf_dir)] = work_dir
+    _active_synth[app] = sf_dir
 
 
 def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:

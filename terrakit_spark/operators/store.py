@@ -72,17 +72,19 @@ register_sql("dataset_package_counts", _dataset_package_counts, tables=["scenes"
 # small scenes are single-window chips, so chip mask == scene burn.
 
 
-def tortilla_index(spark, sf_dir: str):
+def _tortilla_fixture(spark, sf_dir: str) -> str:
+    """Build (once, idempotent) the small-pred dataset container; returns
+    its path. Shared by the footer-index and distributed-read-back
+    queries so both check the same bytes on disk."""
     import os
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from terrakit_spark.operators.chips import SMALL_PRED_SQL
     from terrakit_spark.operators.split import split_col
     from terrakit_spark.pipeline import chip_pipeline
     from terrakit_spark.sinks.geotiff import chips_with_geo
-    from terrakit_spark.sinks.tortilla import load_samples, merge_tortilla, write_tortilla_shards
+    from terrakit_spark.sinks.tortilla import merge_tortilla, write_tortilla_shards
 
     base = os.path.basename(sf_dir.rstrip("/"))
     work = f"/tmp/terrakit_tortilla_{base}"
@@ -100,6 +102,15 @@ def tortilla_index(spark, sf_dir: str):
         )
         merge_tortilla(shard_dir, final + ".tmp")
         os.replace(final + ".tmp", final)
+    return final
+
+
+def tortilla_index(spark, sf_dir: str):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from terrakit_spark.sinks.tortilla import load_samples
+
+    final = _tortilla_fixture(spark, sf_dir)
     idx = load_samples(final)
     rows = [
         (
@@ -151,6 +162,40 @@ LEFT JOIN (
 """
 
 
+def tortilla_read_back(spark, sf_dir: str):
+    """The DISTRIBUTED read path of the container, value-checked: executors
+    range-read the payload bytes (sinks/tortilla.py::read_tortilla) and
+    DECODE them — burn_scar is recomputed from the label GeoTIFF's pixels,
+    not trusted from the footer — yet the oracle is the same closed form
+    as tortilla_index, so a payload byte broken anywhere in writer, merge,
+    offsets, or reader breaks the value hash."""
+    from terrakit_spark.sinks.tortilla import read_tortilla
+
+    final = _tortilla_fixture(spark, sf_dir)
+    samples = read_tortilla(spark, final)
+
+    def _decode(batches):
+        import pandas as pd
+
+        from terrakit_spark.sinks.geotiff import parse_geotiff
+
+        for pb in batches:
+            scars = [
+                int(parse_geotiff(bytes(payload))["cube"].sum()) if part == "label" else None
+                for part, payload in zip(pb["part_id"], pb["payload"])
+            ]
+            out = pb[["sample_id", "part_id", "data_split", "time_start"]].copy()
+            out["burn_scar"] = pd.array(scars, dtype="Int64")
+            yield out
+
+    return samples.mapInPandas(
+        _decode,
+        schema="sample_id string, part_id string, data_split string, "
+        "time_start string, burn_scar long",
+    )
+
+
 from terrakit_spark.registry import register_df  # noqa: E402
 
 register_df("tortilla_index", tortilla_index, oracle=_tortilla_oracle())
+register_df("tortilla_read_back", tortilla_read_back, oracle=_tortilla_oracle())

@@ -27,18 +27,21 @@ _BASE_TABLES = (
     "embeddings",
 )
 
-_registered_views: set[tuple[str, str]] = set()
+_active_base: dict[str, str] = {}  # applicationId -> sf_dir the views point at
 
 
 def ensure_base_views(spark: SparkSession, sf_dir: str) -> None:
     # applicationId, not id(spark): a GC'd session's id can be reused by a
-    # new session, which would silently skip view registration.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _registered_views:
+    # new session, which would silently skip view registration. The memo is
+    # "which sf_dir is ACTIVE", not "which was ever registered": a session
+    # queried at sf A, then B, then A again must re-point the views each
+    # switch (an ever-registered memo served B's tables to the A query).
+    app = spark.sparkContext.applicationId
+    if _active_base.get(app) == sf_dir:
         return
     for t in _BASE_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _registered_views.add(key)
+    _active_base[app] = sf_dir
 
 
 def with_synth(dialect: str, body: str, tables: list[str] | None = None, extra_ctes: str = "") -> str:

@@ -116,22 +116,88 @@ def load_samples(path: str) -> pd.DataFrame:
     """Flattened index of a (possibly nested) container: TORTILLA samples
     are recursed one level (the writer's two-level shape), inner offsets
     rebased to absolute file offsets. Returns the inner footer columns
-    plus shard_id."""
+    plus shard_id.
+
+    Seek-based: reads ONLY the 18-byte header prefixes and the Parquet
+    footers (outer + one per shard), never a payload byte — O(index) I/O
+    at any container size, so the driver can index a 100 TB container
+    without holding it."""
+    import pyarrow.parquet as pq
+
+    def _footer(fh, base: int) -> pd.DataFrame:
+        fh.seek(base)
+        head = fh.read(18)
+        if head[:2] != MAGIC:
+            raise ValueError("not a tortilla container (bad magic)")
+        fo, fl = struct.unpack("<QQ", head[2:18])
+        fh.seek(base + fo)
+        return pq.read_table(io.BytesIO(fh.read(fl))).to_pandas()
+
     with open(path, "rb") as fh:
-        buf = fh.read()
-    outer = read_footer(buf)
-    frames = []
-    for idx, r in outer.iterrows():
-        if r["tortilla:file_format"] == "TORTILLA":
-            inner = read_footer(read_sample(buf, r))
-            inner["tortilla:offset"] += int(r["tortilla:offset"])
-            inner["shard_id"] = r["tortilla:id"]
-            frames.append(inner)
-        else:
-            one = outer.loc[[idx]].copy()
-            one["shard_id"] = None
-            frames.append(one)
+        outer = _footer(fh, 0)
+        frames = []
+        for idx, r in outer.iterrows():
+            if r["tortilla:file_format"] == "TORTILLA":
+                base = int(r["tortilla:offset"])
+                inner = _footer(fh, base)
+                inner["tortilla:offset"] += base
+                inner["shard_id"] = r["tortilla:id"]
+                frames.append(inner)
+            else:
+                one = outer.loc[[idx]].copy()
+                one["shard_id"] = None
+                frames.append(one)
     return pd.concat(frames, ignore_index=True)
+
+
+def read_tortilla(spark, path: str, n_partitions: int | None = None):
+    """Distributed payload reader — the read-side twin of
+    write_tortilla_shards/merge_tortilla (the reference reads its merged
+    container back through tacoreader serially, taco.py:203-210; at scale
+    the payload reads must happen executor-side).
+
+    The driver loads ONLY the flattened footer index (seek-based, O(index)
+    bytes), parallelizes it, and each task opens the container and
+    range-reads its rows' payloads, ordered by offset so I/O within a task
+    is sequential. Partitioned by shard so a task's rows are one
+    contiguous byte range (the shard a single executor wrote). On a real
+    cluster `path` lives on shared storage — the same contract as every
+    sink here. Returns (sample_id, shard_id, part_id, data_split,
+    time_start, offset, length, payload<binary>)."""
+    from pyspark.sql import functions as F
+
+    idx = load_samples(path)
+    pdf = pd.DataFrame(
+        {
+            "sample_id": idx["tortilla:id"].astype(str),
+            "shard_id": idx["shard_id"],
+            "part_id": idx["tortilla:part"],
+            "data_split": idx["tortilla:data_split"],
+            "time_start": idx["stac:time_start"],
+            "offset": idx["tortilla:offset"].astype("int64"),
+            "length": idx["tortilla:length"].astype("int64"),
+        }
+    )
+    index_df = spark.createDataFrame(pdf)
+    nparts = n_partitions or max(1, pdf["shard_id"].nunique())
+
+    def _read(batches):
+        for pb in batches:
+            pb = pb.sort_values("offset")
+            payloads = []
+            with open(path, "rb") as fh:
+                for off, ln in zip(pb["offset"], pb["length"]):
+                    fh.seek(int(off))
+                    payloads.append(fh.read(int(ln)))
+            pb = pb.copy()
+            pb["payload"] = payloads
+            yield pb
+
+    schema = (
+        "sample_id string, shard_id string, part_id string, data_split string, "
+        "time_start string, offset long, length long, payload binary"
+    )
+    return index_df.repartition(nparts, F.col("shard_id")).mapInPandas(_read, schema=schema)
 
 
 def _chip_samples(r, res: float) -> list[dict]:

@@ -102,7 +102,9 @@ def test_partition_pruning_on_stored_tables(synth, spark, sf_dir, tmp_path):
         # tests in this session see the canonical schemas
         from terrakit_spark.operators import spatial_join as sj
 
-        sj._MATERIALIZED.discard(spark.sparkContext.applicationId)
+        app = spark.sparkContext.applicationId
+        sj._MATERIALIZED.pop((app, sf_dir), None)
+        sj._active_synth.pop(app, None)
         register_synth_views(spark, sf_dir)
 
 
@@ -195,3 +197,19 @@ def test_top_orders_is_take_ordered_not_global_window(synth, spark, sf_dir):
     plan = _plan(QUERIES["top_orders_window"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_sf_dir_switch_repoints_views(spark):
+    """A session queried at one scale factor and then another must serve
+    the second's tables — and switching BACK must restore the first's
+    (regression: the ever-registered memo served sf0.1 synth views to an
+    sf1 query; measured as an sf1 spatial join returning sf0.1 rows)."""
+    from terrakit_spark.operators.spatial_join import _register_views
+
+    counts = {}
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        _register_views(spark, d)
+        counts.setdefault(d, set()).add(spark.table("media").count())
+    a, b = counts["/root/testdata/sf0.001"], counts["/root/testdata/sf0.01"]
+    assert len(a) == 1  # switching back restored the original tables
+    assert a != b  # and the two scale factors genuinely differ

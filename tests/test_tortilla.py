@@ -105,3 +105,41 @@ def test_tortilla_pipeline_container(spark, sf_dir, tmp_path):
         assert fr["tortilla:data_split"] == src.data_split
         assert fr["stac:time_start"] == src.scene_date_str
         assert list(fr["stac:raster_shape"]) == [src.chip_h, src.chip_w]
+
+
+@pytest.mark.usefixtures("synth")
+def test_read_tortilla_distributed(spark, sf_dir, tmp_path):
+    """The distributed reader returns byte-identical payloads to the
+    driver-side ranged reads, one task per shard, offsets intact."""
+    from pyspark.sql import functions as F
+
+    from terrakit_spark.operators.chips import SMALL_PRED_SQL
+    from terrakit_spark.operators.split import split_col
+    from terrakit_spark.pipeline import chip_pipeline
+    from terrakit_spark.sinks.geotiff import chips_with_geo
+    from terrakit_spark.sinks.tortilla import read_tortilla, write_tortilla_shards
+
+    chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL)
+    scenes = spark.sql(f"SELECT * FROM scenes WHERE {SMALL_PRED_SQL}")
+    packaged = chips_with_geo(chips, scenes).withColumn(
+        "data_split", split_col(F.col("scene_id") * 1000 + F.col("win_index"))
+    )
+    shard_dir = str(tmp_path / "shards")
+    write_tortilla_shards(packaged.repartition(3, "scene_id"), shard_dir)
+    final = str(tmp_path / "ds.tortilla")
+    merge_tortilla(shard_dir, final)
+
+    got = {
+        (r.sample_id, r.part_id): r
+        for r in read_tortilla(spark, final).collect()
+    }
+    flat = load_samples(final)
+    assert len(got) == len(flat)
+    with open(final, "rb") as fh:
+        buf = fh.read()
+    for _, fr in flat.iterrows():
+        r = got[(fr["tortilla:id"], fr["tortilla:part"])]
+        assert bytes(r.payload) == read_sample(buf, fr)
+        assert r.shard_id == fr["shard_id"]
+        assert r.offset == fr["tortilla:offset"] and r.length == fr["tortilla:length"]
+        assert r.data_split == fr["tortilla:data_split"]
