@@ -213,3 +213,19 @@ def test_sf_dir_switch_repoints_views(spark):
     a, b = counts["/root/testdata/sf0.001"], counts["/root/testdata/sf0.01"]
     assert len(a) == 1  # switching back restored the original tables
     assert a != b  # and the two scale factors genuinely differ
+
+
+def test_bbox_prefilter_sits_below_arrow_refine(synth, spark, sf_dir):
+    """The point-in-bbox prefilter must run JVM-side BEFORE the Arrow
+    ray-cast: a cell is coarser than a polygon's bbox, so bbox-rejectable
+    candidates must never pay the Arrow transfer (px, py, vertex array).
+    Executed plans print top-down (root first), so the codegen bbox Filter
+    must appear AFTER (= deeper than) the ArrowEvalPython node, and the
+    Python-UDF filter node itself must not carry the bbox comparisons."""
+    plan = _plan(QUERIES["spatial_join_pip"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    above, below = plan.split("ArrowEvalPython", 1)
+    assert "xmin" in below and ">= xmin" in below.replace("#", " #").replace("L", ""), below[:3000]
+    # the refine filter (pythonUDF result) is above; the bbox filter is not
+    # folded into it
+    assert "pythonUDF" in above, above[:2000]
