@@ -105,3 +105,150 @@ def point_in_polygon(px, py, verts):
     if _pip_udf is None:
         _pip_udf = pandas_udf(_pip_fn, "boolean")
     return _pip_udf(px, py, verts)
+
+
+# ------------------------------------------------------- convex SAT overlap
+def sat_depth(va: np.ndarray, vb: np.ndarray) -> np.ndarray:
+    """Signed separation depth for convex polygon pairs (separating-axis
+    theorem). va: (n, m, 2); vb: (n, k, 2). Returns (n,) float64: the
+    minimum, over every edge-normal axis of BOTH polygons, of the projected
+    interval overlap — positive iff the interiors intersect (for convex
+    polytopes the Minkowski-difference facet normals are a subset of the
+    two polygons' edge normals, so strict SAT over those axes is exact),
+    zero at tangency, negative when separated.
+
+    Axes are UNNORMALIZED edge normals (perp of the edge vector), so the
+    depth is in axis-scaled units, not metres — callers threshold it, they
+    don't interpret it. Padded duplicate vertices (ragged batches) produce
+    zero-length edges whose (0,0) normal is masked to +inf so it never
+    decides the min. Fully vectorized across rows, edges, and vertices."""
+
+    def _axes(P: np.ndarray) -> np.ndarray:
+        e = np.roll(P, -1, axis=1) - P
+        return np.stack([-e[..., 1], e[..., 0]], axis=-1)
+
+    ax = np.concatenate([_axes(va), _axes(vb)], axis=1)  # (n, A, 2)
+    pa = np.einsum("nmd,nad->nam", va, ax)  # (n, A, m)
+    pb = np.einsum("nkd,nad->nak", vb, ax)
+    # interval overlap on each axis: min(amax - bmin, bmax - amin)
+    gap = np.minimum(pa.max(-1) - pb.min(-1), pb.max(-1) - pa.min(-1))
+    dead = (ax[..., 0] == 0.0) & (ax[..., 1] == 0.0)
+    return np.where(dead, np.inf, gap).min(-1)
+
+
+def _verts_batch(verts: pd.Series) -> np.ndarray:
+    arr = verts.to_numpy()
+    try:
+        return np.asarray(arr.tolist(), dtype=np.float64).reshape(len(arr), -1, 2)
+    except ValueError:
+        return _pad_vertices(verts)
+
+
+def _overlap_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series([], dtype=np.float64)
+    return pd.Series(sat_depth(_verts_batch(va), _verts_batch(vb)))
+
+
+_overlap_udf = None
+
+
+def convex_overlap_depth(verts_a, verts_b):
+    """Column expression: SAT separation depth as an Arrow pandas UDF."""
+    global _overlap_udf
+    if _overlap_udf is None:
+        _overlap_udf = pandas_udf(_overlap_fn, "double")
+    return _overlap_udf(verts_a, verts_b)
+
+
+# ------------------------------------------- convex intersection area (S-H)
+def clip_area(subject: np.ndarray, ns: np.ndarray, clipper: np.ndarray, nc: np.ndarray) -> np.ndarray:
+    """Exact intersection area of convex polygon pairs via Sutherland-
+    Hodgman clipping, vectorized across the batch. subject: (B, Ls, 2) with
+    per-row valid vertex counts ns; clipper: (B, Lc, 2) CCW with counts nc.
+    Returns (B,) float64 areas (0 when disjoint or degenerate).
+
+    The clip loop runs over the clipper's Lc half-planes (small); within
+    each, every batch row advances together: per-position emit masks (the
+    crossing intersection point, then the inside endpoint), then a stable
+    argsort compaction packs each row's emitted points back into sequence
+    order. Clipping a convex n-gon by m half-planes yields <= n + m
+    vertices, so one (B, Ls + Lc) buffer fits every intermediate."""
+    B, Ls, _ = subject.shape
+    Lc = clipper.shape[1]
+    L = Ls + Lc
+    cur = np.zeros((B, L, 2), dtype=np.float64)
+    cur[:, :Ls] = subject
+    k = ns.astype(np.int64).copy()
+    pos = np.arange(L)[None, :]
+    rows = np.arange(B)[:, None]
+    for e in range(Lc):
+        alive = (k >= 3) & (e < nc)
+        if not alive.any():
+            break
+        a = clipper[:, e]
+        b = clipper[np.arange(B), (e + 1) % np.maximum(nc, 1)]
+        # half-plane: left of directed edge a->b (CCW clipper interior)
+        ex, ey = (b - a)[:, 0:1], (b - a)[:, 1:2]
+        dist = ex * (cur[..., 1] - a[:, 1:2]) - ey * (cur[..., 0] - a[:, 0:1])
+        inside = dist >= 0.0
+        kk = np.maximum(k, 1)[:, None]
+        nxt_idx = (pos + 1) % kk
+        nxt = np.take_along_axis(cur, nxt_idx[..., None], axis=1)
+        d_n = np.take_along_axis(dist, nxt_idx, axis=1)
+        in_n = np.take_along_axis(inside, nxt_idx, axis=1)
+        valid = (pos < k[:, None]) & alive[:, None]
+        cross = (inside != in_n) & valid
+        denom = dist - d_n
+        t = np.divide(dist, denom, out=np.zeros_like(dist), where=denom != 0.0)
+        ipt = cur + t[..., None] * (nxt - cur)
+        keep_n = in_n & valid
+        # emit order per position: [intersection, next-if-inside]
+        emitted = np.empty((B, 2 * L, 2), dtype=np.float64)
+        emitted[:, 0::2] = ipt
+        emitted[:, 1::2] = nxt
+        mask = np.empty((B, 2 * L), dtype=bool)
+        mask[:, 0::2] = cross
+        mask[:, 1::2] = keep_n
+        order = np.argsort(~mask, axis=1, kind="stable")[:, :L]
+        new = np.take_along_axis(emitted, order[..., None], axis=1)
+        new_k = mask.sum(axis=1)
+        upd = alive
+        cur[upd] = new[upd]
+        k = np.where(upd, new_k, np.where(e < nc, 0, k))
+    kk = np.maximum(k, 1)[:, None]
+    nxt = np.take_along_axis(cur, ((pos + 1) % kk)[..., None], axis=1)
+    contrib = cur[..., 0] * nxt[..., 1] - nxt[..., 0] * cur[..., 1]
+    contrib = np.where(pos < k[:, None], contrib, 0.0)
+    area = 0.5 * np.abs(contrib.sum(axis=1))
+    return np.where(k >= 3, area, 0.0)
+
+
+def _counts_and_pad(verts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    arr = verts.to_numpy()
+    try:
+        P = np.asarray(arr.tolist(), dtype=np.float64).reshape(len(arr), -1, 2)
+        return P, np.full(len(arr), P.shape[1], dtype=np.int64)
+    except ValueError:
+        ns = np.array([len(v) // 2 for v in arr], dtype=np.int64)
+        return _pad_vertices(verts), ns
+
+
+def _area_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series([], dtype=np.float64)
+    A, na = _counts_and_pad(va)
+    B_, nb = _counts_and_pad(vb)
+    return pd.Series(clip_area(A, na, B_, nb))
+
+
+_area_udf = None
+
+
+def convex_intersection_area(verts_a, verts_b):
+    """Column expression: exact convex-pair intersection area (clip a by b).
+    b must wind CCW; a may wind either way (shoelace abs)."""
+    global _area_udf
+    if _area_udf is None:
+        _area_udf = pandas_udf(_area_fn, "double")
+    return _area_udf(verts_a, verts_b)

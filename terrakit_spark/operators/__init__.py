@@ -3,6 +3,7 @@
 from terrakit_spark.operators import (  # noqa: F401
     asof,
     chips,
+    coverage,
     dedup,
     flagship,
     geo_scalar,

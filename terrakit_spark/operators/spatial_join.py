@@ -380,3 +380,109 @@ WHERE abs(p.mx - l.cx) / l.rx + abs(p.my - l.cy) / l.ry < 1
 )
 
 register_df("spatial_join_pip_sampled", spatial_join_pip_sampled, oracle=_SAMPLED_ORACLE)
+
+
+# ------------------------------------------------- polygon x polygon overlap
+# The reference never joins two polygon layers (its only spatial join is the
+# per-pixel label burn); this extends the same cell-index design to
+# polygon<->polygon — the operator a label layer needs to reconcile against a
+# second vector layer (admin boundaries, tile footprints, another label
+# vintage) at 10^12 scale.
+OVERLAP_EPS = 1e-6  # SAT depth threshold, in edge-normal-scaled units
+# Poly x poly wants cells at POLYGON-DIAMETER scale, not the point-join's
+# 0.125-deg grid: both sides explode to cover cells, so a grid 10x finer
+# than the shapes replicates each side ~100x for no extra pruning. (The
+# point join only replicates its polygon side; its point side is free.)
+OVERLAP_CELL_DEG = 1.0
+
+
+def convex_overlap_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    cell_deg: float = OVERLAP_CELL_DEG,
+    eps: float = OVERLAP_EPS,
+) -> DataFrame:
+    """Exact interiors-intersect join of two convex-polygon layers, each
+    with (xmin, ymin, xmax, ymax, vertices) columns; the b side's columns
+    come back suffixed `_b`.
+
+    Plan shape mirrors cell_pip_join: both sides explode to cover cells,
+    cell equi-join generates candidates, then two JVM-side filters run
+    before the Arrow SAT refine —
+
+    1. canonical-cell dedup: a pair whose bboxes overlap meets in every
+       shared cover cell; only the cell containing the intersection bbox's
+       lower-left corner (greatest(xmin), greatest(ymin)) emits it. That
+       corner lies inside both bboxes, so the pair survives exactly once —
+       no distinct shuffle needed.
+    2. bbox-overlap prefilter (non-strict; the SAT refine decides
+       boundary semantics) so bbox-disjoint candidates never pay the
+       Arrow transfer of two vertex arrays.
+
+    The refine keeps pairs with SAT separation depth > eps: strictly
+    interior-overlapping pairs, with a documented tolerance band instead
+    of a float-equality knife edge at tangency (the synthetic layer
+    genuinely contains edge-tangent diamond pairs)."""
+    b = polys_b.select([F.col(c).alias(f"{c}_b") for c in polys_b.columns])
+    a_cells = with_cover_cells(polys_a, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
+    b_cells = with_cover_cells(b, "xmin_b", "ymin_b", "xmax_b", "ymax_b", out="_cell", cell_deg=cell_deg)
+    cand = a_cells.join(b_cells, on="_cell", how="inner")
+    from terrakit_spark.functions.cells import cell_id
+    from terrakit_spark.functions.geometry import convex_overlap_depth
+
+    canonical = cell_id(
+        F.greatest(F.col("xmin"), F.col("xmin_b")),
+        F.greatest(F.col("ymin"), F.col("ymin_b")),
+        cell_deg,
+    )
+    cand = cand.filter(F.col("_cell") == canonical)
+    cand = cand.filter(
+        (F.col("xmin") <= F.col("xmax_b"))
+        & (F.col("xmin_b") <= F.col("xmax"))
+        & (F.col("ymin") <= F.col("ymax_b"))
+        & (F.col("ymin_b") <= F.col("ymax"))
+    )
+    hit = cand.filter(convex_overlap_depth(F.col("vertices"), F.col("vertices_b")) > F.lit(eps))
+    return hit.drop("_cell")
+
+
+def polygon_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-id label diamonds overlap-joined against odd-id ones: the exact
+    (label_a, label_b) interior-intersection pair set."""
+    _register_views(spark, sf_dir)
+    d = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    a = d.filter("label_id % 2 = 0")
+    b = d.filter("label_id % 2 = 1")
+    return convex_overlap_join(a, b).select(
+        F.col("label_id").alias("label_a"), F.col("label_id_b").alias("label_b")
+    )
+
+
+def _sat_gap(ax: str, ay: str) -> str:
+    """DuckDB-side SAT interval gap on one (unnormalized) axis for the
+    diamond closed form: projection extent of a diamond (c, rx, ry) onto
+    axis (ax, ay) is max(rx*|ax|, ry*|ay|); the engine's generic edge-normal
+    axes for a diamond are exactly (+-ry, +-rx), so the scaled depths agree
+    bit-for-close (same real value, float noise ~1e-14 << the 4e-5 dead band
+    around OVERLAP_EPS measured on the synthetic layer)."""
+    return (
+        f"(greatest(a.rx*abs({ax}), a.ry*abs({ay})) + greatest(b.rx*abs({ax}), b.ry*abs({ay}))"
+        f" - abs((b.cx-a.cx)*({ax}) + (b.cy-a.cy)*({ay})))"
+    )
+
+
+_OVERLAP_ORACLE = with_synth(
+    DUCK,
+    f"""
+SELECT a.label_id AS label_a, b.label_id AS label_b
+FROM labels a JOIN labels b
+  ON a.cx - a.rx <= b.cx + b.rx AND b.cx - b.rx <= a.cx + a.rx
+ AND a.cy - a.ry <= b.cy + b.ry AND b.cy - b.ry <= a.cy + a.ry
+WHERE a.label_id % 2 = 0 AND b.label_id % 2 = 1
+  AND least({_sat_gap('a.ry', 'a.rx')}, {_sat_gap('a.ry', '-a.rx')},
+            {_sat_gap('b.ry', 'b.rx')}, {_sat_gap('b.ry', '-b.rx')}) > 1e-6
+""",
+    tables=["labels"],
+)
+
+register_df("polygon_overlap_join", polygon_overlap_join, oracle=_OVERLAP_ORACLE)

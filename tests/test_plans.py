@@ -229,3 +229,16 @@ def test_bbox_prefilter_sits_below_arrow_refine(synth, spark, sf_dir):
     # the refine filter (pythonUDF result) is above; the bbox filter is not
     # folded into it
     assert "pythonUDF" in above, above[:2000]
+
+
+def test_overlap_join_is_equi_hash_with_jvm_prefilters(synth, spark, sf_dir):
+    """Polygon x polygon overlap: cell equi-join (never cartesian), and both
+    the canonical-cell dedup and the bbox-overlap filter run JVM-side below
+    the Arrow SAT refine."""
+    plan = _plan(QUERIES["polygon_overlap_join"](spark, sf_dir))
+    assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    below = plan.split("ArrowEvalPython", 1)[1]
+    assert "xmax_b" in below, below[:3000]  # bbox prefilter below the refine
