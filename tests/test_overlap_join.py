@@ -95,3 +95,22 @@ def test_tile_label_coverage_matches_numpy(synth, spark, sf_dir):
         assert gn == n
         assert abs(ga - a) < 1e-9
         assert abs(gc - a / 4.0) < 1e-9
+
+
+def test_clip_area_ragged_clipper_and_subject():
+    """Mixed vertex counts on BOTH sides of the clip (the (e+1) % nc
+    wrap-around edge of a padded clipper is the easy one to break)."""
+    from terrakit_spark.functions.geometry import clip_area
+
+    sq = lambda cx, cy, r: np.array([[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r], [cx - r, cy + r]])
+    tri = np.array([[0, 0], [2, 0], [1, 2]], float)
+
+    def batch(polys):
+        L = max(len(p) for p in polys)
+        out = np.stack([np.vstack([p, np.repeat(p[-1:], L - len(p), axis=0)]) for p in polys])
+        return out.astype(float), np.array([len(p) for p in polys], dtype=np.int64)
+
+    subs, ns = batch([sq(0, 0, 2), tri, sq(0, 0, 2)])
+    clips, nc = batch([tri, sq(0, 0, 2), sq(5, 5, 1)])
+    got = clip_area(subs, ns, clips, nc)
+    assert np.allclose(got, [2.0, 2.0, 0.0])  # tri inside big square both ways; disjoint 0
