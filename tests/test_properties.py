@@ -135,3 +135,51 @@ def test_star_cc_logarithmic_rounds_on_long_chain(synth, spark, sf_dir):
     assert len(rows) == 512
     assert {r.cluster_id for r in rows} == {0}
     assert sum(r.is_keeper for r in rows) == 1
+
+
+def test_sat_depth_and_clip_area_agree_on_random_convex_pairs():
+    """Cross-kernel invariant: for random convex polygon pairs, positive
+    SAT depth <=> positive clip area (away from tangency both kernels must
+    agree on the overlap verdict; they share no code path)."""
+    import numpy as np
+
+    from terrakit_spark.functions.geometry import clip_area, sat_depth
+
+    rng = np.random.default_rng(7)
+    B = 4000
+    # random convex polygons: affine images of regular n-gons (convex by
+    # construction — sorted-angle random-radius "polygons" are only
+    # star-shaped, which breaks both kernels' convexity contract)
+    def convex(n_pts, center, scale):
+        th = np.arange(n_pts) * 2 * np.pi / n_pts + rng.uniform(0, 2 * np.pi, (B, 1))
+        unit = np.stack([np.cos(th), np.sin(th)], axis=-1)  # (B, n, 2) CCW
+        M = rng.uniform(-1.0, 1.0, (B, 2, 2))
+        M[:, 0, 0] += 2.0
+        M[:, 1, 1] += 2.0  # diagonally dominant -> det > 0, orientation kept
+        warped = np.einsum("bnd,bde->bne", unit, M) * scale
+        return warped + center[:, None, :]
+
+    ca = rng.uniform(-3, 3, (B, 2))
+    cb = ca + rng.uniform(-2.5, 2.5, (B, 2))
+    A = convex(5, ca, 1.0)
+    C = convex(4, cb, 1.2)
+    depth = sat_depth(A.copy(), C.copy())
+    area = clip_area(A, np.full(B, 5), C, np.full(B, 4))
+    clear = np.abs(depth) > 1e-9  # skip knife-edge tangencies
+    assert clear.sum() > B * 0.99
+    assert np.array_equal(depth[clear] > 0, area[clear] > 0)
+    # and containment sanity: when one polygon contains the other entirely,
+    # the clip area equals the smaller polygon's area
+    def shoelace(P):
+        x, y = P[..., 0], P[..., 1]
+        return 0.5 * np.abs((x * np.roll(y, -1, 1) - np.roll(x, -1, 1) * y).sum(1))
+
+    tiny = convex(4, ca, 0.05)
+    big = convex(6, ca, 3.0)
+    # a 0.05-scale polygon at the same center sits inside the 3.0-scale one
+    # whenever the big polygon's inradius there exceeds ~0.05; just assert
+    # area(clip) <= area(tiny) + eps and almost always equal
+    a_t = shoelace(tiny)
+    a_clip = clip_area(tiny, np.full(B, 4), big, np.full(B, 6))
+    assert (a_clip <= a_t + 1e-12).all()
+    assert (np.abs(a_clip - a_t) < 1e-12).mean() > 0.9
