@@ -401,6 +401,7 @@ def convex_overlap_join(
     polys_b: DataFrame,
     cell_deg: float = OVERLAP_CELL_DEG,
     eps: float = OVERLAP_EPS,
+    n_salts: int = 0,
 ) -> DataFrame:
     """Exact interiors-intersect join of two convex-polygon layers, each
     with (xmin, ymin, xmax, ymax, vertices) columns; the b side's columns
@@ -422,13 +423,40 @@ def convex_overlap_join(
     The refine keeps pairs with SAT separation depth > eps: strictly
     interior-overlapping pairs, with a documented tolerance band instead
     of a float-equality knife edge at tangency (the synthetic layer
-    genuinely contains edge-tangent diamond pairs)."""
+    genuinely contains edge-tangent diamond pairs).
+
+    n_salts > 0 splits each cell's a-side across n_salts shuffle keys and
+    replicates the b-side per salt — the hotspot-cell lever. A dense
+    region at diameter-scale cells is a SINGLE join key whose candidate
+    product lands on one task (measured at sf1: 1 of 32 cores busy for
+    >20 min while the refine is minutes of parallel work); unlike the
+    point join, nearly every hotspot candidate is a genuine match, so
+    finer cells cannot shrink the work — salting spreads it. A pair still
+    meets exactly once (its a-row hashes to one salt), so the canonical-
+    cell dedup is untouched and the output provably salt-invariant (same
+    oracle as the unsalted query)."""
     b = polys_b.select([F.col(c).alias(f"{c}_b") for c in polys_b.columns])
     a_cells = with_cover_cells(polys_a, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     b_cells = with_cover_cells(b, "xmin_b", "ymin_b", "xmax_b", "ymax_b", out="_cell", cell_deg=cell_deg)
-    cand = a_cells.join(b_cells, on="_cell", how="inner")
     from terrakit_spark.functions.cells import cell_id
     from terrakit_spark.functions.geometry import convex_overlap_depth
+
+    if n_salts > 0:
+        a_cells = with_salt(a_cells, "_cell", n_salts, F.col("xmin") + F.col("ymax"), out="_salt")
+        b_cells = replicate_salts(b_cells, n_salts, out="_salt")
+        # PIN the salted partitioning: AQE's coalescing merges post-shuffle
+        # partitions by INPUT bytes, and a combinatorial join (small x small
+        # -> huge product) is invisible to it — measured at sf1, it merged
+        # the 16 salted hot keys straight back onto one task. An explicit
+        # numPartitions repartition on the join keys is exempt from AQE
+        # coalescing, and the join reuses the co-partitioning (no further
+        # exchange), so each (cell, salt) key keeps its own task.
+        p = n_salts * 32
+        a_cells = a_cells.repartition(p, "_cell", "_salt")
+        b_cells = b_cells.repartition(p, "_cell", "_salt")
+        cand = a_cells.join(b_cells, on=["_cell", "_salt"], how="inner").drop("_salt")
+    else:
+        cand = a_cells.join(b_cells, on="_cell", how="inner")
 
     canonical = cell_id(
         F.greatest(F.col("xmin"), F.col("xmin_b")),
@@ -486,3 +514,19 @@ WHERE a.label_id % 2 = 0 AND b.label_id % 2 = 1
 )
 
 register_df("polygon_overlap_join", polygon_overlap_join, oracle=_OVERLAP_ORACLE)
+
+
+def polygon_overlap_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted physical variant of polygon_overlap_join, pinned to the
+    IDENTICAL oracle: salting is a layout device and must not change one
+    output row (the dedup argument in convex_overlap_join's docstring)."""
+    _register_views(spark, sf_dir)
+    d = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    a = d.filter("label_id % 2 = 0")
+    b = d.filter("label_id % 2 = 1")
+    return convex_overlap_join(a, b, n_salts=16).select(
+        F.col("label_id").alias("label_a"), F.col("label_id_b").alias("label_b")
+    )
+
+
+register_df("polygon_overlap_join_salted", polygon_overlap_join_salted, oracle=_OVERLAP_ORACLE)
