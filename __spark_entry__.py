@@ -40,7 +40,8 @@ _PRIORITY = [
     "wkb_roundtrip",
     "tortilla_index",  # new in round 5 (K6 byte-level container)
     "tortilla_read_back",  # new in round 5 (distributed payload reader)
-    "polygon_overlap_join",  # new in round 5 (polygon x polygon SAT join)
+    "polygon_overlap_join",  # new in round 5 (polygon x polygon SAT join, salted default)
+    "polygon_overlap_join_unsalted",  # same oracle: salt-invariance proof
     "tile_label_coverage",  # new in round 5 (exact clip-area coverage; rows-only)
     # --- code changed in round 5 (re-prove after edit) ---
     "spatial_join_pip",
