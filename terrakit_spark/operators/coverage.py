@@ -31,12 +31,30 @@ TILE_CELL_DEG = 1.0  # chip windows are 2 deg; the 0.125-deg point grid would
 #                      explode each tile to 17x17 cover cells for no pruning
 
 
-def tile_coverage_join(tiles: DataFrame, polys: DataFrame, cell_deg: float = TILE_CELL_DEG) -> DataFrame:
+def tile_coverage_join(
+    tiles: DataFrame, polys: DataFrame, cell_deg: float = TILE_CELL_DEG, n_salts: int = 0
+) -> DataFrame:
     """tiles(txmin..tymax, tverts CCW) x polys(xmin..ymax, vertices) ->
-    pairs + exact intersection `area` (only area > 0 pairs survive)."""
+    pairs + exact intersection `area` (only area > 0 pairs survive).
+
+    n_salts: hotspot-cell lever for dense regions — same combinatorial-
+    skew class as convex_overlap_join (a hot cell's tile x label product
+    is ONE join key, invisible to AQE's byte-keyed skew handling); the
+    salted partitioning must be pinned with explicit numPartitions for
+    the same reason (AQE coalescing merges salted keys back)."""
     t = with_cover_cells(tiles, "txmin", "tymin", "txmax", "tymax", out="_cell", cell_deg=cell_deg)
     g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
-    cand = t.join(g, on="_cell", how="inner")
+    if n_salts > 0:
+        from terrakit_spark.functions.cells import replicate_salts, with_salt
+
+        t = with_salt(t, "_cell", n_salts, F.col("txmin") + F.col("tymax"), out="_salt")
+        g = replicate_salts(g, n_salts, out="_salt")
+        p = n_salts * 32
+        t = t.repartition(p, "_cell", "_salt")
+        g = g.repartition(p, "_cell", "_salt")
+        cand = t.join(g, on=["_cell", "_salt"], how="inner").drop("_salt")
+    else:
+        cand = t.join(g, on="_cell", how="inner")
     canonical = cell_id(
         F.greatest(F.col("txmin"), F.col("xmin")),
         F.greatest(F.col("tymin"), F.col("ymin")),
