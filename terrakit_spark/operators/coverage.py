@@ -109,7 +109,10 @@ def tile_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     tiles = _geo_tiles(spark, "scene_id % 25 = 0")
     polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
-    pairs = tile_coverage_join(tiles, polys)
+    # salted by default: the pinned 512-task refine is both faster (30.8 vs
+    # 41.5 s min at sf0.1) and far more noise-robust (31-32 s tight band vs
+    # 42-127 s — a few-task refine is hostage to whichever cores degrade)
+    pairs = tile_coverage_join(tiles, polys, n_salts=16)
     # tile area is exactly 4 deg^2: 256 px * 2^-7 deg/px = 2 deg per side
     return (
         pairs.groupBy("scene_id", "win_index")
