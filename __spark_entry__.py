@@ -28,55 +28,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# LRU rotation (round-4 verdict item 2): the 29 queries with no r4 driver
-# row go FIRST so a capped driver pass re-reaches them. shp_roundtrip
-# leads — its sink was hardened in round 4 (sinks/shapefile.py overwrite
-# guard + accumulator count) AFTER its last driver row, the exact pattern
-# that left ann_ivf stale in round 3. Then the operators whose code
-# changes THIS round (spatial_join default cell selector, burn kernel,
-# top_orders_window plan), then the rest of the r3-only cohort.
+# LRU rotation (round-5 verdict item 5): queries whose latest driver row is
+# r4 go FIRST so the capped driver pass re-reaches them — led by the query
+# whose code changed THIS round (tile_label_coverage: new closed-form
+# oracle + rect-clip fast path; polygon_overlap_join: probe-driven salting;
+# chip_pipeline_*: labels_via auto-select), then the untouched r4 cohort
+# (similarity/ANN family first — its SQL was untouched in rounds 5 and 6),
+# then the r5-green queries.
 _PRIORITY = [
-    "shp_roundtrip",
-    "wkb_roundtrip",
-    "tortilla_index",  # new in round 5 (K6 byte-level container)
-    "tortilla_read_back",  # new in round 5 (distributed payload reader)
-    "polygon_overlap_join",  # new in round 5 (polygon x polygon SAT join, salted default)
+    # --- code changed in round 6 (re-prove after edit) ---
+    "tile_label_coverage",  # NEW closed-form DuckDB oracle (was rows-only)
+    "polygon_overlap_join",  # salting now probe-driven
     "polygon_overlap_join_unsalted",  # same oracle: salt-invariance proof
-    "tile_label_coverage",  # new in round 5 (exact clip-area coverage; rows-only)
-    # --- code changed in round 5 (re-prove after edit) ---
     "spatial_join_pip",
-    "burn_histogram",
-    "burn_histogram_nodata",
-    "top_orders_window",
+    "chip_pipeline_full",  # labels_via auto probe
     "pipeline_summary_small",
-    "chip_pipeline_full",
-    # --- rest of the no-r4-row cohort (r3-green, rotate back in) ---
-    "knn_grid",
-    "labels_load",
-    "metadata_lookup",
-    "grouped_bbox",
-    "window_grid",
-    "chip_inventory",
-    "bbox_tile_grid",
-    "bbox_clip_360",
-    "curvilinear_clip",
-    "quadkey_cells",
-    "max_composite",
-    "first_valid_mosaic",
-    "dup_ts_merge",
-    "label_tally",
-    "vrt_window_stats",
-    "rest_point_forecast",
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "repetition_signals",
-    "hll_distinct_tokens",
-    "corpus_curation",
-    "curation_rollup_cube",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
+    "dataset_package",  # r4 + tortilla fixture re-keyed this round
+    "dataset_package_counts",
+    "tortilla_index",
+    "tortilla_read_back",
+    # --- r4-only cohort (no r5 driver row; code untouched since) ---
+    "ann_topk_quantized",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "kmeans_embeddings",
+    "kmeans_sizes",
+    "simhash_table",
+    "simhash_near_dup",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "duplicate_ngram_spans",
+    "token_budget_sample",
+    "pii_scrub",
+    "contamination_check",
+    "flagship_doc_rollup",
+    "raster_polygonize",
+    "dataset_stats_quirk",
+    "date_token_extract",
+    "descriptive_stats",
+    "distinct_dates",
+    "domain_assign",
+    "geo_scalars",
+    "media_decode_features",
+    "media_frame_sample",
+    "media_resize",
+    "pipeline_skip_zero",
+    "pricing_summary",
+    "region_rollup",
+    "sessionize_events",
+    "split_assign",
+    "split_counts",
+    "temporal_range_filter",
 ]
 
 

@@ -91,7 +91,11 @@ SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 # until the epoch clears (bounded by SPARK_GRAFT_EPOCH_WAIT seconds total).
 # The control samples land in the output JSON so the record carries its own
 # epoch evidence.
-CEILING_REF_PER_CORE = 3.0 * 32  # historical: 6e9 rows / 32 cores = 3.0 s
+# The control's row count scales with cores (n_rows = 1.875e8 * cores), so a
+# clean epoch reads ~3.0 s at ANY core count — the reference is a CONSTANT,
+# not per-core (a per-core ref of 96/cores read 12 s at the 8-core scaling
+# leg and admitted epochs degraded ~5x, flattering the recorded efficiency).
+CEILING_REF_SEC = 3.0
 EPOCH_TOLERANCE = float(os.environ.get("SPARK_GRAFT_EPOCH_TOLERANCE", "1.25"))
 EPOCH_WAIT_BUDGET = int(os.environ.get("SPARK_GRAFT_EPOCH_WAIT", "600"))
 
@@ -111,7 +115,7 @@ def _wait_good_epoch(spark, cores: int, state: dict) -> float:
     """Sample the control; sleep through degraded epochs until it reads
     within EPOCH_TOLERANCE of the reference or the wait budget is spent.
     Returns the last control sample (always recorded)."""
-    ref = CEILING_REF_PER_CORE / cores
+    ref = CEILING_REF_SEC
     while True:
         c = _codegen_control(spark, cores)
         state.setdefault("samples", []).append(round(c, 2))

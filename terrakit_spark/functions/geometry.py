@@ -175,6 +175,65 @@ def convex_overlap_depth(verts_a, verts_b):
 
 
 # ------------------------------------------- convex intersection area (S-H)
+def _clip_step(
+    curx: np.ndarray,
+    cury: np.ndarray,
+    k: np.ndarray,
+    dist: np.ndarray,
+    alive: np.ndarray,
+    pos: np.ndarray,
+    L: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One Sutherland-Hodgman half-plane pass over the whole batch, given the
+    per-vertex signed distances (>= 0 inside). Per-position emit masks (the
+    crossing intersection point, then the inside endpoint), then a
+    cumsum-scatter compaction (put_along_axis into a dump-slot-padded buffer)
+    packs each row's emitted points back into sequence order. Returns
+    (newx, newy, new_k) buffers of width L."""
+    B = curx.shape[0]
+    inside = dist >= 0.0
+    kk = np.maximum(k, 1)[:, None]
+    nxt_idx = (pos + 1) % kk
+    nxtx = np.take_along_axis(curx, nxt_idx, axis=1)
+    nxty = np.take_along_axis(cury, nxt_idx, axis=1)
+    d_n = np.take_along_axis(dist, nxt_idx, axis=1)
+    in_n = np.take_along_axis(inside, nxt_idx, axis=1)
+    valid = (pos < k[:, None]) & alive[:, None]
+    cross = (inside != in_n) & valid
+    denom = dist - d_n
+    t = np.divide(dist, denom, out=np.zeros_like(dist), where=denom != 0.0)
+    iptx = curx + t * (nxtx - curx)
+    ipty = cury + t * (nxty - cury)
+    keep_n = in_n & valid
+    # emit order per position: [intersection, next-if-inside]
+    mask = np.empty((B, 2 * L), dtype=bool)
+    mask[:, 0::2] = cross
+    mask[:, 1::2] = keep_n
+    emx = np.empty((B, 2 * L), dtype=np.float64)
+    emy = np.empty((B, 2 * L), dtype=np.float64)
+    emx[:, 0::2] = iptx
+    emx[:, 1::2] = nxtx
+    emy[:, 0::2] = ipty
+    emy[:, 1::2] = nxty
+    dest = np.cumsum(mask, axis=1) - 1
+    dest = np.where(mask, np.minimum(dest, L - 1), L)  # unemitted -> dump slot
+    newx = np.zeros((B, L + 1), dtype=np.float64)
+    newy = np.zeros((B, L + 1), dtype=np.float64)
+    np.put_along_axis(newx, dest, emx, axis=1)
+    np.put_along_axis(newy, dest, emy, axis=1)
+    return newx[:, :L], newy[:, :L], mask.sum(axis=1)
+
+
+def _shoelace(curx: np.ndarray, cury: np.ndarray, k: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    kk = np.maximum(k, 1)[:, None]
+    nxt_idx = (pos + 1) % kk
+    nxtx = np.take_along_axis(curx, nxt_idx, axis=1)
+    nxty = np.take_along_axis(cury, nxt_idx, axis=1)
+    contrib = np.where(pos < k[:, None], curx * nxty - nxtx * cury, 0.0)
+    area = 0.5 * np.abs(contrib.sum(axis=1))
+    return np.where(k >= 3, area, 0.0)
+
+
 def clip_area(subject: np.ndarray, ns: np.ndarray, clipper: np.ndarray, nc: np.ndarray) -> np.ndarray:
     """Exact intersection area of convex polygon pairs via Sutherland-
     Hodgman clipping, vectorized across the batch. subject: (B, Ls, 2) with
@@ -209,47 +268,53 @@ def clip_area(subject: np.ndarray, ns: np.ndarray, clipper: np.ndarray, nc: np.n
         # half-plane: left of directed edge a->b (CCW clipper interior)
         ex, ey = (b - a)[:, 0:1], (b - a)[:, 1:2]
         dist = ex * (cury - a[:, 1:2]) - ey * (curx - a[:, 0:1])
-        inside = dist >= 0.0
-        kk = np.maximum(k, 1)[:, None]
-        nxt_idx = (pos + 1) % kk
-        nxtx = np.take_along_axis(curx, nxt_idx, axis=1)
-        nxty = np.take_along_axis(cury, nxt_idx, axis=1)
-        d_n = np.take_along_axis(dist, nxt_idx, axis=1)
-        in_n = np.take_along_axis(inside, nxt_idx, axis=1)
-        valid = (pos < k[:, None]) & alive[:, None]
-        cross = (inside != in_n) & valid
-        denom = dist - d_n
-        t = np.divide(dist, denom, out=np.zeros_like(dist), where=denom != 0.0)
-        iptx = curx + t * (nxtx - curx)
-        ipty = cury + t * (nxty - cury)
-        keep_n = in_n & valid
-        # emit order per position: [intersection, next-if-inside]
-        mask = np.empty((B, 2 * L), dtype=bool)
-        mask[:, 0::2] = cross
-        mask[:, 1::2] = keep_n
-        emx = np.empty((B, 2 * L), dtype=np.float64)
-        emy = np.empty((B, 2 * L), dtype=np.float64)
-        emx[:, 0::2] = iptx
-        emx[:, 1::2] = nxtx
-        emy[:, 0::2] = ipty
-        emy[:, 1::2] = nxty
-        dest = np.cumsum(mask, axis=1) - 1
-        dest = np.where(mask, np.minimum(dest, L - 1), L)  # unemitted -> dump slot
-        newx = np.zeros((B, L + 1), dtype=np.float64)
-        newy = np.zeros((B, L + 1), dtype=np.float64)
-        np.put_along_axis(newx, dest, emx, axis=1)
-        np.put_along_axis(newy, dest, emy, axis=1)
-        new_k = mask.sum(axis=1)
-        curx[alive] = newx[alive, :L]
-        cury[alive] = newy[alive, :L]
+        newx, newy, new_k = _clip_step(curx, cury, k, dist, alive, pos, L)
+        curx[alive] = newx[alive]
+        cury[alive] = newy[alive]
         k = np.where(alive, new_k, np.where(e < nc, 0, k))
-    kk = np.maximum(k, 1)[:, None]
-    nxt_idx = (pos + 1) % kk
-    nxtx = np.take_along_axis(curx, nxt_idx, axis=1)
-    nxty = np.take_along_axis(cury, nxt_idx, axis=1)
-    contrib = np.where(pos < k[:, None], curx * nxty - nxtx * cury, 0.0)
-    area = 0.5 * np.abs(contrib.sum(axis=1))
-    return np.where(k >= 3, area, 0.0)
+    return _shoelace(curx, cury, k, pos)
+
+
+def clip_area_rect(
+    subject: np.ndarray,
+    ns: np.ndarray,
+    rx0: np.ndarray,
+    ry0: np.ndarray,
+    rx1: np.ndarray,
+    ry1: np.ndarray,
+) -> np.ndarray:
+    """clip_area specialized to an AXIS-ALIGNED rectangle clipper per row —
+    the tile-coverage hot path. Same Sutherland-Hodgman compaction, but each
+    half-plane's signed distance is one subtraction (coordinate minus bound)
+    instead of a cross product against gathered clipper vertices, and the
+    caller ships 4 scalar columns over Arrow instead of an 8-double vertex
+    array. subject: (B, Ls, 2) with valid counts ns; rects are (B,) bound
+    arrays with rx0 <= rx1, ry0 <= ry1. Returns (B,) float64 areas."""
+    B, Ls, _ = subject.shape
+    L = Ls + 4
+    curx = np.zeros((B, L), dtype=np.float64)
+    cury = np.zeros((B, L), dtype=np.float64)
+    curx[:, :Ls] = subject[..., 0]
+    cury[:, :Ls] = subject[..., 1]
+    k = ns.astype(np.int64).copy()
+    pos = np.arange(L)[None, :]
+    for e in range(4):
+        alive = k >= 3
+        if not alive.any():
+            break
+        if e == 0:
+            dist = curx - rx0[:, None]
+        elif e == 1:
+            dist = rx1[:, None] - curx
+        elif e == 2:
+            dist = cury - ry0[:, None]
+        else:
+            dist = ry1[:, None] - cury
+        newx, newy, new_k = _clip_step(curx, cury, k, dist, alive, pos, L)
+        curx[alive] = newx[alive]
+        cury[alive] = newy[alive]
+        k = np.where(alive, new_k, 0)
+    return _shoelace(curx, cury, k, pos)
 
 
 def _counts_and_pad(verts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -280,3 +345,56 @@ def convex_intersection_area(verts_a, verts_b):
     if _area_udf is None:
         _area_udf = pandas_udf(_area_fn, "double")
     return _area_udf(verts_a, verts_b)
+
+
+def _rect_area_fn(
+    va: pd.Series, x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series([], dtype=np.float64)
+    A, na = _counts_and_pad(va)
+    return pd.Series(
+        clip_area_rect(
+            A,
+            na,
+            x0.to_numpy(np.float64),
+            y0.to_numpy(np.float64),
+            x1.to_numpy(np.float64),
+            y1.to_numpy(np.float64),
+        )
+    )
+
+
+_rect_area_udf = None
+
+
+def rect_intersection_area(verts, x0, y0, x1, y1):
+    """Column expression: exact polygon x axis-aligned-rect intersection
+    area (the specialized kernel + 4-scalar Arrow transfer)."""
+    global _rect_area_udf
+    if _rect_area_udf is None:
+        _rect_area_udf = pandas_udf(_rect_area_fn, "double")
+    return _rect_area_udf(verts, x0, y0, x1, y1)
+
+
+def _poly_area_fn(va: pd.Series) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series([], dtype=np.float64)
+    A, na = _counts_and_pad(va)
+    L = A.shape[1]
+    curx = np.ascontiguousarray(A[..., 0])
+    cury = np.ascontiguousarray(A[..., 1])
+    return pd.Series(_shoelace(curx, cury, na, np.arange(L)[None, :]))
+
+
+_poly_area_udf = None
+
+
+def polygon_area(verts):
+    """Column expression: a polygon's own (shoelace, abs) area — runs ONCE
+    per polygon row, so callers can reuse it across candidate pairs (the
+    fully-contained fast path skips the clip kernel entirely)."""
+    global _poly_area_udf
+    if _poly_area_udf is None:
+        _poly_area_udf = pandas_udf(_poly_area_fn, "double")
+    return _poly_area_udf(verts)

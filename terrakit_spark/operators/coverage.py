@@ -4,27 +4,41 @@ against every overlapping label polygon, rolled up per tile.
 The reference approximates label coverage per chip by COUNTING burned pixels
 (/root/reference/terrakit/chip/chip_and_label.py — mask.sum() over the
 rasterized window); this operator computes the EXACT geometric area via the
-vectorized Sutherland-Hodgman kernel (functions/geometry.py:clip_area) —
-the area-weighted label-assignment a training-data pipeline uses to pick
+vectorized Sutherland-Hodgman kernel (functions/geometry.py:clip_area_rect)
+— the area-weighted label-assignment a training-data pipeline uses to pick
 chips worth keeping (coverage thresholds, class balance by area).
 
 Plan: window grid (pure codegen explode) -> geo tile bboxes -> coarse-cell
-equi-join to labels -> canonical-cell dedup + bbox prefilter (JVM-side) ->
-Arrow clip-area refine -> per-tile aggregate. No oracle: DuckDB cannot run
-the clipping kernel and the closed-form rect∩diamond integral is a case
-explosion — correctness is pinned by tests/test_overlap_join.py's numpy
-parity + Monte Carlo property tests instead (driver records the weaker
-rows-only check; SURVEY §2 notes it)."""
+equi-join to labels (salting probe-driven) -> canonical-cell dedup + bbox
+prefilter (JVM-side) -> split: polygons whose bbox sits fully inside the
+tile take a JVM-only fast path (area = the polygon's OWN area, computed
+once per polygon before the explode), the rest go through the Arrow
+rect-clip refine -> per-tile aggregate.
+
+Cross-engine determinism: per-pair areas are scaled to exact integer
+micro-deg^2 (round(area * 1e6)) before the rollup, so the group sums are
+order-independent BIGINT adds and the DuckDB oracle — an exact closed-form
+piecewise-linear integration of the rect x diamond slice (see _ORACLE) —
+hashes identically. Both engines see bit-identical pair inputs (tile bounds
+are exact binary: scene origins are 0.25-multiples and RES = 2^-7), so the
+only float divergence is algorithmic roundoff ~1e-15 « the 0.5e-6 rounding
+band."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from terrakit_spark.dialect import DUCK
 from terrakit_spark.functions.cells import cell_id, with_cover_cells
-from terrakit_spark.functions.geometry import convex_intersection_area
-from terrakit_spark.operators.spatial_join import _diamond_polys, _register_views
-from terrakit_spark.registry import register_df
+from terrakit_spark.functions.geometry import polygon_area, rect_intersection_area
+from terrakit_spark.operators.spatial_join import (
+    _diamond_polys,
+    _register_views,
+    probe_salts,
+    salted_partitions,
+)
+from terrakit_spark.registry import register_df, with_synth
 from terrakit_spark.synth import RES_SQL
 
 TILE_CELL_DEG = 1.0  # chip windows are 2 deg; the 0.125-deg point grid would
@@ -32,24 +46,34 @@ TILE_CELL_DEG = 1.0  # chip windows are 2 deg; the 0.125-deg point grid would
 
 
 def tile_coverage_join(
-    tiles: DataFrame, polys: DataFrame, cell_deg: float = TILE_CELL_DEG, n_salts: int = 0
+    tiles: DataFrame, polys: DataFrame, cell_deg: float = TILE_CELL_DEG, n_salts: int | None = None
 ) -> DataFrame:
-    """tiles(txmin..tymax, tverts CCW) x polys(xmin..ymax, vertices) ->
-    pairs + exact intersection `area` (only area > 0 pairs survive).
+    """tiles(txmin..tymax axis-aligned rects) x polys(xmin..ymax bbox,
+    vertices) -> pairs + exact intersection `area` (only area > 0 pairs
+    survive).
 
     n_salts: hotspot-cell lever for dense regions — same combinatorial-
     skew class as convex_overlap_join (a hot cell's tile x label product
     is ONE join key, invisible to AQE's byte-keyed skew handling); the
     salted partitioning must be pinned with explicit numPartitions for
-    the same reason (AQE coalescing merges salted keys back)."""
+    the same reason (AQE coalescing merges salted keys back). None
+    (default) decides from the probe_salts density probe.
+
+    The refine splits on bbox containment: a polygon fully inside the tile
+    needs no clip — its area was computed ONCE per polygon (one Arrow pass
+    over the unexploded layer), so those pairs never pay the clip kernel or
+    its Arrow transfer. Only boundary-crossing pairs hit clip_area_rect."""
+    polys = polys.withColumn("_parea", polygon_area(F.col("vertices")))
     t = with_cover_cells(tiles, "txmin", "tymin", "txmax", "tymax", out="_cell", cell_deg=cell_deg)
     g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
+    if n_salts is None:
+        n_salts = probe_salts(t, g)
     if n_salts > 0:
         from terrakit_spark.functions.cells import replicate_salts, with_salt
 
         t = with_salt(t, "_cell", n_salts, F.col("txmin") + F.col("tymax"), out="_salt")
         g = replicate_salts(g, n_salts, out="_salt")
-        p = n_salts * 32
+        p = salted_partitions(t, n_salts)
         t = t.repartition(p, "_cell", "_salt")
         g = g.repartition(p, "_cell", "_salt")
         cand = t.join(g, on=["_cell", "_salt"], how="inner").drop("_salt")
@@ -67,21 +91,35 @@ def tile_coverage_join(
         & (F.col("tymin") <= F.col("ymax"))
         & (F.col("ymin") <= F.col("tymax"))
     )
-    cand = cand.withColumn("area", convex_intersection_area(F.col("vertices"), F.col("tverts")))
-    return cand.filter(F.col("area") > 0.0).drop("_cell")
+    contained = (
+        (F.col("xmin") >= F.col("txmin"))
+        & (F.col("xmax") <= F.col("txmax"))
+        & (F.col("ymin") >= F.col("tymin"))
+        & (F.col("ymax") <= F.col("tymax"))
+    )
+    # split, don't when/otherwise: a conditional over an Arrow UDF still
+    # ships and evaluates EVERY row through Python — only a filter split
+    # actually skips the kernel for contained pairs (the common case:
+    # labels are <= 1.25 deg wide vs 2-deg tiles)
+    inside = cand.filter(contained).withColumn("area", F.col("_parea"))
+    crossing = cand.filter(~contained).withColumn(
+        "area",
+        rect_intersection_area(
+            F.col("vertices"), F.col("txmin"), F.col("tymin"), F.col("txmax"), F.col("tymax")
+        ),
+    )
+    out = inside.unionByName(crossing)
+    return out.filter(F.col("area") > 0.0).drop("_cell", "_parea")
 
 
 def _geo_tiles(spark: SparkSession, scene_pred: str) -> DataFrame:
     """Chip windows in geo coordinates (scene xmin/ymin + window offset *
-    RES), with a CCW rectangle vertex array for the clipping kernel."""
+    RES). Tile bounds are exact binary doubles (origins are 0.25-multiples,
+    RES = 2^-7), so the DuckDB oracle reproduces them bit-for-bit."""
     return spark.sql(
         f"""
         SELECT scene_id, win_index,
-               txmin, tymin, txmin + win_w * {RES_SQL} AS txmax, tymin + win_h * {RES_SQL} AS tymax,
-               array(txmin, tymin,
-                     txmin + win_w * {RES_SQL}, tymin,
-                     txmin + win_w * {RES_SQL}, tymin + win_h * {RES_SQL},
-                     txmin, tymin + win_h * {RES_SQL}) AS tverts
+               txmin, tymin, txmin + win_w * {RES_SQL} AS txmax, tymin + win_h * {RES_SQL} AS tymax
         FROM (
           SELECT w.scene_id, w.win_index, w.win_w, w.win_h,
                  s.xmin + w.win_x * {RES_SQL} AS txmin,
@@ -102,26 +140,117 @@ def _geo_tiles(spark: SparkSession, scene_pred: str) -> DataFrame:
     )
 
 
+COVERAGE_SCENE_PRED = "scene_id % 25 = 0"
+AREA_SCALE = "1.0e6"  # micro-deg^2: the integer unit both engines sum in
+
+
 def tile_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chip-window exact label coverage over the scene_id % 25 = 0
     subset: window count, per-label area sum, and coverage fraction of the
-    2x2-degree tile. Sum-of-areas semantics (overlapping labels add)."""
+    2x2-degree tile. Sum-of-areas semantics (overlapping labels add); pairs
+    count when their intersection is >= 1 micro-deg^2 after rounding, and
+    sums run over exact BIGINT micro-units so the rollup is order-
+    independent and hash-matches the DuckDB closed-form oracle."""
     _register_views(spark, sf_dir)
-    tiles = _geo_tiles(spark, "scene_id % 25 = 0")
+    tiles = _geo_tiles(spark, COVERAGE_SCENE_PRED)
     polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
-    # salted by default: the pinned 512-task refine is both faster (30.8 vs
-    # 41.5 s min at sf0.1) and far more noise-robust (31-32 s tight band vs
-    # 42-127 s — a few-task refine is hostage to whichever cores degrade)
-    pairs = tile_coverage_join(tiles, polys, n_salts=16)
+    pairs = tile_coverage_join(tiles, polys)
+    pairs = pairs.withColumn(
+        "area_u", F.round(F.col("area") * F.lit(1e6), 0).cast("long")
+    ).filter(F.col("area_u") > 0)
     # tile area is exactly 4 deg^2: 256 px * 2^-7 deg/px = 2 deg per side
     return (
         pairs.groupBy("scene_id", "win_index")
         .agg(
             F.count("*").cast("int").alias("n_labels"),
-            F.sum("area").alias("label_area"),
+            F.sum("area_u").alias("_au"),
         )
-        .withColumn("coverage", F.col("label_area") / F.lit(4.0))
+        .select(
+            "scene_id",
+            "win_index",
+            "n_labels",
+            (F.col("_au").cast("double") / F.lit(1e6)).alias("label_area"),
+            (F.col("_au").cast("double") / F.lit(4e6)).alias("coverage"),
+        )
     )
 
 
-register_df("tile_label_coverage", tile_label_coverage)
+def _coverage_oracle() -> str:
+    """Closed-form DuckDB oracle: the rect x diamond intersection area as an
+    EXACT piecewise-linear integration. The vertical slice of the
+    intersection at abscissa x is
+        h(x) = max(0, min(tymax, ytop(x)) - max(tymin, ybot(x))),
+    ytop/ybot = cy +- ry*(1 - |x-cx|/rx) — piecewise linear with every kink
+    at a closed-form abscissa: the diamond apex (cx), and the 8 crossings of
+    ytop/ybot with tymin/tymax. Clamping all 9 into [x0, x1] (the bbox
+    overlap in x) and sorting gives 10 segments on which h is LINEAR, so
+    width * h(midpoint) integrates each segment exactly — no case analysis,
+    no approximation. Per-pair areas are rounded to integer micro-deg^2
+    exactly like the engine, so the rollup compares as exact BIGINT sums."""
+    res = RES_SQL
+    pred = COVERAGE_SCENE_PRED
+    ytop = "(cy + ry * (1 - abs((bp[i] + bp[i+1]) * 0.5 - cx) / rx))"
+    ybot = "(cy - ry * (1 - abs((bp[i] + bp[i+1]) * 0.5 - cx) / rx))"
+    seg = f"(bp[i+1] - bp[i]) * greatest(0.0, least(tymax, {ytop}) - greatest(tymin, {ybot}))"
+    clamp = "greatest(x0, least(x1, {v}))"
+    bps = ", ".join(
+        clamp.format(v=v)
+        for v in (
+            "cx",
+            "cx - rx * (cy + ry - tymax) / ry",
+            "cx + rx * (cy + ry - tymax) / ry",
+            "cx - rx * (cy + ry - tymin) / ry",
+            "cx + rx * (cy + ry - tymin) / ry",
+            "cx - rx * (tymax - cy + ry) / ry",
+            "cx + rx * (tymax - cy + ry) / ry",
+            "cx - rx * (tymin - cy + ry) / ry",
+            "cx + rx * (tymin - cy + ry) / ry",
+        )
+    )
+    body = f"""
+WITH wins AS (
+  SELECT scene_id, width, height,
+         CAST((x // 256) * ((height - 1) // 256 + 1) + (y // 256) AS INT) AS win_index,
+         CAST(CASE WHEN x + 256 > width THEN width - 256 ELSE x END AS INT) AS win_x,
+         CAST(CASE WHEN y + 256 > height THEN height - 256 ELSE y END AS INT) AS win_y
+  FROM (SELECT scene_id, width, height, x,
+               unnest(generate_series(0, CAST(height - 1 AS BIGINT), 256)) AS y
+        FROM (SELECT scene_id, width, height,
+                     unnest(generate_series(0, CAST(width - 1 AS BIGINT), 256)) AS x
+              FROM scenes WHERE {pred}) _sx) _sy
+),
+tiles AS (
+  SELECT w.scene_id, w.win_index,
+         s.xmin + w.win_x * {res} AS txmin,
+         s.ymin + w.win_y * {res} AS tymin,
+         (s.xmin + w.win_x * {res}) + 256 * {res} AS txmax,
+         (s.ymin + w.win_y * {res}) + 256 * {res} AS tymax
+  FROM wins w JOIN scenes s ON w.scene_id = s.scene_id
+),
+cand AS (
+  SELECT t.scene_id, t.win_index, t.txmin, t.tymin, t.txmax, t.tymax,
+         l.cx, l.cy, l.rx, l.ry,
+         greatest(t.txmin, l.cx - l.rx) AS x0,
+         least(t.txmax, l.cx + l.rx) AS x1
+  FROM tiles t JOIN labels l
+    ON t.txmin <= l.cx + l.rx AND l.cx - l.rx <= t.txmax
+   AND t.tymin <= l.cy + l.ry AND l.cy - l.ry <= t.tymax
+),
+areas AS (
+  SELECT scene_id, win_index,
+         CAST(round({AREA_SCALE} * list_sum(list_transform(generate_series(1, 10),
+              i -> {seg})), 0) AS BIGINT) AS area_u
+  FROM (SELECT *, list_sort([x0, x1, {bps}]) AS bp FROM cand) _b
+)
+SELECT scene_id, win_index,
+       CAST(count(*) AS INT) AS n_labels,
+       CAST(sum(area_u) AS DOUBLE) / 1e6 AS label_area,
+       CAST(sum(area_u) AS DOUBLE) / 4e6 AS coverage
+FROM areas
+WHERE area_u > 0
+GROUP BY scene_id, win_index
+"""
+    return with_synth(DUCK, body, tables=["scenes", "labels"])
+
+
+register_df("tile_label_coverage", tile_label_coverage, oracle=_coverage_oracle())

@@ -121,7 +121,14 @@ def _burn_image_edges(
     xs = xmin + (np.arange(width, dtype=np.float64) + 0.5) * res
     ys_rev = (ymax - (np.arange(height, dtype=np.float64) + 0.5) * res)[::-1]  # ascending
 
-    parr = np.stack(polys)  # (n, V, 2) uniform vertex count
+    try:
+        parr = np.stack(polys)  # (n, V, 2) uniform vertex count
+    except ValueError:
+        # ragged vertex counts: this kernel's edge tables assume a uniform
+        # V — honor the documented return-None contract so burn_image falls
+        # back to the painter (which handles ragged via padded bboxes +
+        # per-poly ray casts)
+        return None
     V = parr.shape[1]
     cls_arr = np.asarray(classes, dtype=np.int32)
     # All integer work below runs in int32 where the bound proves it fits.
@@ -339,7 +346,16 @@ def _burn_image_painter(
     # Precompute all bboxes vectorized (one pass instead of 2 numpy
     # reductions per polygon inside the loop — hotspot scenes see 10^4
     # overlapping polygons and the per-poly Python overhead is the cost).
-    parr = np.stack(polys)  # (n, 4, 2) — diamonds/quads; ragged callers
+    try:
+        parr = np.stack(polys)  # (n, V, 2) uniform vertex count
+    except ValueError:
+        # ragged batch: pad by repeating the last vertex (the geometry UDFs'
+        # _pad_vertices rule) — padding never changes a bbox, and the
+        # per-poly ray casts below use the ORIGINAL unpadded polys[i]
+        V = max(p.shape[0] for p in polys)
+        parr = np.stack([
+            np.vstack([p, np.repeat(p[-1:], V - p.shape[0], axis=0)]) for p in polys
+        ])
     bx0a, by0a = parr.min(axis=1).T
     bx1a, by1a = parr.max(axis=1).T
     x_lo_a = np.searchsorted(xs, bx0a, "left")

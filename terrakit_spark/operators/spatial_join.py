@@ -29,6 +29,15 @@ from terrakit_spark.synth import ALL_TABLES
 FIXED_CELL_DEG = 0.125  # fallback grid when the adaptive selector is off
 
 
+def salted_partitions(df: DataFrame, n_salts: int) -> int:
+    """Partition count for a PINNED salted shuffle: n_salts tasks per
+    available execution slot, derived from the CLUSTER's parallelism —
+    never a literal core count. The pinning exists to buy N->4N scaling
+    (AQE coalescing merges salted keys back); a constant fan would cap the
+    salted stage at the dev box's width regardless of executor count."""
+    return n_salts * df.sparkSession.sparkContext.defaultParallelism
+
+
 def _adaptive_default() -> bool:
     import os
 
@@ -136,9 +145,15 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     import os
 
     app = spark.sparkContext.applicationId
+    # Base views FIRST, before the synth early-return: ensure_base_views is
+    # called directly by other operator families (dedup/similarity/registry),
+    # so the base views can have been re-pointed at another sf_dir since this
+    # memo last ran — returning early on _active_synth alone would serve
+    # synth views over mixed-scale base tables. ensure_base_views is itself
+    # memoized on the ACTIVE sf_dir, so the common path stays free.
+    ensure_base_views(spark, sf_dir)
     if _active_synth.get(app) == sf_dir:
         return
-    ensure_base_views(spark, sf_dir)
     work = _MATERIALIZED.get((app, sf_dir))
     if work is not None:
         for name in ALL_TABLES:
@@ -318,6 +333,64 @@ def adaptive_cell_deg(
     return deg
 
 
+_SALT_CACHE: dict = {}
+
+
+def probe_salts(a_cells: DataFrame, b_cells: DataFrame, max_salts: int = 64) -> int:
+    """Pick the salt fan for a cell-keyed combinatorial join from MEASURED
+    per-cell candidate products — the adaptive_cell_deg pattern applied to
+    the salting decision (round-5 lesson: the choice was hand-flipped per
+    query after an sf0.1 falsification; the trigger belongs in a probe).
+
+    The skew that matters is the hottest cell's candidate PRODUCT |a|x|b|:
+    it is a SINGLE join key, so its entire product lands on one task —
+    invisible to AQE's byte-keyed skew split (the verdict-documented sf1
+    failure). The probe aggregates per-cell counts on both sides (two
+    map-combinable groupBys, output <= occupied cells at ANY input size),
+    joins them, and compares the hottest product against a fair task share:
+    need = hot / (total / defaultParallelism). need <= 2 means even the
+    hottest cell is at most ~2 fair shares — salting would only add
+    replication; above that, salt with the next power of two >= need
+    (capped) so the hot cell's work spreads across ~need tasks.
+
+    Memoized per (application, semantic input plans): repeated joins over
+    the same layers — a bench repeat, both halves of a coverage query —
+    pay the probe once."""
+    import math
+
+    try:
+        key = (
+            a_cells.sparkSession.sparkContext.applicationId,
+            a_cells._jdf.queryExecution().analyzed().semanticHash(),
+            b_cells._jdf.queryExecution().analyzed().semanticHash(),
+            max_salts,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _SALT_CACHE:
+        return _SALT_CACHE[key]
+
+    a_cnt = a_cells.groupBy("_cell").agg(F.count("*").alias("_na"))
+    b_cnt = b_cells.groupBy("_cell").agg(F.count("*").alias("_nb"))
+    row = (
+        a_cnt.join(b_cnt, on="_cell", how="inner")
+        .select((F.col("_na") * F.col("_nb")).alias("_p"))
+        .agg(F.max("_p").alias("hot"), F.sum("_p").alias("total"))
+        .collect()[0]
+    )
+    par = a_cells.sparkSession.sparkContext.defaultParallelism
+    if not row.total or not row.hot:
+        n = 0
+    else:
+        need = row.hot * par / row.total
+        n = 0 if need <= 2.0 else int(min(2 ** math.ceil(math.log2(need)), max_salts))
+    if key is not None:
+        if len(_SALT_CACHE) > 256:
+            _SALT_CACHE.clear()
+        _SALT_CACHE[key] = n
+    return n
+
+
 def spatial_join_pip_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME join with the cell size chosen by adaptive_cell_deg —
     pinned to the IDENTICAL oracle as spatial_join_pip, because the cell
@@ -401,7 +474,7 @@ def convex_overlap_join(
     polys_b: DataFrame,
     cell_deg: float = OVERLAP_CELL_DEG,
     eps: float = OVERLAP_EPS,
-    n_salts: int = 0,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Exact interiors-intersect join of two convex-polygon layers, each
     with (xmin, ymin, xmax, ymax, vertices) columns; the b side's columns
@@ -434,13 +507,19 @@ def convex_overlap_join(
     finer cells cannot shrink the work — salting spreads it. A pair still
     meets exactly once (its a-row hashes to one salt), so the canonical-
     cell dedup is untouched and the output provably salt-invariant (same
-    oracle as the unsalted query)."""
+    oracle as the unsalted query).
+
+    n_salts=None (default) decides from the probe_salts density probe —
+    the measured hottest-cell candidate product, same pattern as
+    adaptive_cell_deg. Pass 0 to force unsalted, >0 to force a fan."""
     b = polys_b.select([F.col(c).alias(f"{c}_b") for c in polys_b.columns])
     a_cells = with_cover_cells(polys_a, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     b_cells = with_cover_cells(b, "xmin_b", "ymin_b", "xmax_b", "ymax_b", out="_cell", cell_deg=cell_deg)
     from terrakit_spark.functions.cells import cell_id
     from terrakit_spark.functions.geometry import convex_overlap_depth
 
+    if n_salts is None:
+        n_salts = probe_salts(a_cells, b_cells)
     if n_salts > 0:
         a_cells = with_salt(a_cells, "_cell", n_salts, F.col("xmin") + F.col("ymax"), out="_salt")
         b_cells = replicate_salts(b_cells, n_salts, out="_salt")
@@ -451,7 +530,7 @@ def convex_overlap_join(
         # numPartitions repartition on the join keys is exempt from AQE
         # coalescing, and the join reuses the co-partitioning (no further
         # exchange), so each (cell, salt) key keeps its own task.
-        p = n_salts * 32
+        p = salted_partitions(polys_a, n_salts)
         a_cells = a_cells.repartition(p, "_cell", "_salt")
         b_cells = b_cells.repartition(p, "_cell", "_salt")
         cand = a_cells.join(b_cells, on=["_cell", "_salt"], how="inner").drop("_salt")
@@ -476,15 +555,17 @@ def convex_overlap_join(
 
 def polygon_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Even-id label diamonds overlap-joined against odd-id ones: the exact
-    (label_a, label_b) interior-intersection pair set. Salted by default:
-    measured at BOTH sf0.1 (9.2 vs 20-22 s at 32 cores, no penalty at 8)
-    and sf1 (591 vs 2501 s) — the hotspot product dominates this join at
-    every density tried, and unsalted it rides one task."""
+    (label_a, label_b) interior-intersection pair set. Salting is
+    probe-driven (n_salts=None -> probe_salts): salted was measured faster
+    at BOTH sf0.1 (9.2 vs 20-22 s at 32 cores, no penalty at 8) and sf1
+    (591 vs 2501 s) — the hotspot product dominates this join at every
+    density tried, and unsalted it rides one task; the probe encodes that
+    trigger instead of a hand-flipped constant."""
     _register_views(spark, sf_dir)
     d = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
     b = d.filter("label_id % 2 = 1")
     a = d.filter("label_id % 2 = 0")
-    return convex_overlap_join(a, b, n_salts=16).select(
+    return convex_overlap_join(a, b).select(
         F.col("label_id").alias("label_a"), F.col("label_id_b").alias("label_b")
     )
 
@@ -496,7 +577,7 @@ def _polygon_overlap_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFram
     d = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
     a = d.filter("label_id % 2 = 0")
     b = d.filter("label_id % 2 = 1")
-    return convex_overlap_join(a, b).select(
+    return convex_overlap_join(a, b, n_salts=0).select(
         F.col("label_id").alias("label_a"), F.col("label_id_b").alias("label_b")
     )
 

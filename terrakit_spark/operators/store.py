@@ -86,8 +86,19 @@ def _tortilla_fixture(spark, sf_dir: str) -> str:
     from terrakit_spark.sinks.geotiff import chips_with_geo
     from terrakit_spark.sinks.tortilla import merge_tortilla, write_tortilla_shards
 
+    import hashlib
+
+    from terrakit_spark.sinks.tortilla import FORMAT_VERSION
+
+    # Key on a hash of the FULL path plus the container-format version:
+    # two sf_dirs sharing a basename (.work/sf0.1 vs /root/testdata/sf0.1)
+    # must not collide, and a writer-format change must force a rebuild
+    # instead of silently validating stale bytes.
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir.rstrip('/'))}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
     base = os.path.basename(sf_dir.rstrip("/"))
-    work = f"/tmp/terrakit_tortilla_{base}"
+    work = f"/tmp/terrakit_tortilla_{base}_{key}"
     final = os.path.join(work, "dataset.tortilla")
     if not os.path.exists(final):  # deterministic fixture, idempotent
         chips = chip_pipeline(spark, sf_dir, scene_pred=SMALL_PRED_SQL)

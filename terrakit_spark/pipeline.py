@@ -86,22 +86,45 @@ def register_transform(name: str, fn) -> None:
     TRANSFORMS[name] = fn
 
 
+_LABEL_BYTES_CACHE: dict[tuple[str, str], int] = {}
+_LABEL_ROW_BYTES = 48  # 6 numeric cols x 8 B: the broadcast dict's payload
+
+
+def _label_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Estimated driver/broadcast footprint of the label dimension: one
+    map-combinable count (memoized per application+sf_dir — the label layer
+    is immutable within a run) times the fixed numeric row width. The probe
+    is what makes labels_via='auto' safe at 100 TB: a 2 MB layer broadcasts,
+    a 2 GB one takes the cover-cell join, and nobody has to know which."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LABEL_BYTES_CACHE:
+        n = spark.sql("SELECT count(*) AS n FROM labels").collect()[0].n
+        _LABEL_BYTES_CACHE[key] = int(n) * _LABEL_ROW_BYTES
+    return _LABEL_BYTES_CACHE[key]
+
+
 def chip_pipeline(
     spark: SparkSession,
     sf_dir: str,
     scene_pred: str = "true",
     shuffle_parts: int | None = None,
     transforms: list[str] | None = None,
-    labels_via: str = "broadcast",
+    labels_via: str = "auto",
     skip_zero_scenes: bool = False,
     memoize_burns: bool = True,
     scenes_df: DataFrame | None = None,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Returns the chip table: one row per (scene, window) with data chip,
     label chip, and per-band integer stat partials.
 
     labels_via:
-      - "broadcast" (default): the label layer is the small dimension — it
+      - "auto" (default): probe the label-side size (one map-combinable
+        count, memoized per application+sf_dir) and pick broadcast when the
+        estimated driver footprint fits broadcast_max_bytes, else join.
+        The driver-side toPandas() below is correct at 2 MB and wrong at
+        2 GB — the threshold must be measured, not assumed.
+      - "broadcast": the label layer is the small dimension — it
         ships to every chipper task as numpy arrays (sorted by geom_seq) and
         candidate selection is a vectorized bbox overlap inside the UDF.
         This removes the (scene x label) pair join entirely; with hotspot
@@ -112,6 +135,13 @@ def chip_pipeline(
     _register_views(spark, sf_dir)
     scenes = matched_scenes(spark, scene_pred, scenes_df=scenes_df)
     n_parts = shuffle_parts or spark.sparkContext.defaultParallelism
+
+    if labels_via == "auto":
+        labels_via = (
+            "broadcast"
+            if _label_bytes(spark, sf_dir) <= broadcast_max_bytes
+            else "join"
+        )
 
     if labels_via == "broadcast":
         lab = (

@@ -41,6 +41,10 @@ import pandas as pd
 
 MAGIC = b"#y"
 HEADER_LEN = 200
+# Bump when the byte layout or the packed sample schema changes: cached
+# fixtures (operators/store.py) key on this so a writer change forces a
+# rebuild instead of validating stale bytes.
+FORMAT_VERSION = 1
 _EPSG = "EPSG:4326"
 
 

@@ -58,8 +58,10 @@ def test_overlap_join_generic_convex_ragged(spark):
 
 def test_tile_label_coverage_matches_numpy(synth, spark, sf_dir):
     """Exact-parity oracle in numpy: rebuild the %25 window grid and clip
-    every (tile, diamond) pair with the same kernel driven row-at-a-time,
-    then compare counts exactly and area sums to float-sum tolerance."""
+    every (tile, diamond) pair with the GENERIC clip kernel driven
+    row-at-a-time (independent of the rect-specialized kernel and the
+    contained fast path the query uses), round to the same integer
+    micro-deg^2 unit, and compare counts and integer sums exactly."""
     from terrakit_spark.functions.geometry import clip_area
     from terrakit_spark.operators.spatial_join import _diamond_polys, _register_views
 
@@ -83,18 +85,60 @@ def test_tile_label_coverage_matches_numpy(synth, spark, sf_dir):
                 rect = np.array([[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2]])
                 rects = np.broadcast_to(rect, (len(lv), 4, 2)).copy()
                 areas = clip_area(lv.copy(), four, rects, four)
-                hit = areas > 0.0
+                au = np.floor(areas * 1e6 + 0.5).astype(np.int64)  # HALF_UP
+                hit = au > 0
                 if hit.any():
-                    expected[(s.scene_id, xi * ny + yi)] = (int(hit.sum()), float(areas[hit].sum()))
+                    expected[(s.scene_id, xi * ny + yi)] = (int(hit.sum()), int(au[hit].sum()))
 
     got = {(r.scene_id, r.win_index): (r.n_labels, r.label_area, r.coverage)
            for r in QUERIES["tile_label_coverage"](spark, sf_dir).collect()}
     assert set(got) == set(expected)
-    for key, (n, a) in expected.items():
+    for key, (n, au_sum) in expected.items():
         gn, ga, gc = got[key]
         assert gn == n
-        assert abs(ga - a) < 1e-9
-        assert abs(gc - a / 4.0) < 1e-9
+        assert round(ga * 1e6) == au_sum
+        assert gc == au_sum / 4e6
+
+
+def test_clip_area_rect_matches_generic():
+    """The rect-specialized kernel must agree with the generic S-H kernel
+    on random convex subjects x random rects (including disjoint, contained
+    and crossing cases) to float tolerance."""
+    from terrakit_spark.functions.geometry import clip_area, clip_area_rect
+
+    rng = np.random.default_rng(7)
+    B = 512
+    # random diamonds (convex quads) + some triangles via padding
+    cx, cy = rng.uniform(-5, 5, B), rng.uniform(-5, 5, B)
+    rx, ry = rng.uniform(0.1, 3, B), rng.uniform(0.1, 3, B)
+    subj = np.stack(
+        [np.stack([cx - rx, cy], 1), np.stack([cx, cy - ry], 1),
+         np.stack([cx + rx, cy], 1), np.stack([cx, cy + ry], 1)], axis=1
+    )
+    ns = np.full(B, 4, dtype=np.int64)
+    x0 = rng.uniform(-6, 4, B)
+    y0 = rng.uniform(-6, 4, B)
+    x1 = x0 + rng.uniform(0.1, 6, B)
+    y1 = y0 + rng.uniform(0.1, 6, B)
+    rects = np.stack(
+        [np.stack([x0, y0], 1), np.stack([x1, y0], 1),
+         np.stack([x1, y1], 1), np.stack([x0, y1], 1)], axis=1
+    )
+    generic = clip_area(subj.copy(), ns, rects, np.full(B, 4, dtype=np.int64))
+    fast = clip_area_rect(subj.copy(), ns, x0, y0, x1, y1)
+    assert np.allclose(generic, fast, atol=1e-12)
+    assert (fast > 0).any() and (fast == 0).any()  # both case classes hit
+
+
+def test_polygon_area_shoelace():
+    from terrakit_spark.functions.geometry import _shoelace
+
+    # unit square, CCW and CW
+    sq = np.array([[[0, 0], [1, 0], [1, 1], [0, 1]]], dtype=np.float64)
+    pos = np.arange(4)[None, :]
+    assert _shoelace(sq[..., 0].copy(), sq[..., 1].copy(), np.array([4]), pos)[0] == 1.0
+    rev = sq[:, ::-1, :]
+    assert _shoelace(rev[..., 0].copy(), rev[..., 1].copy(), np.array([4]), pos)[0] == 1.0
 
 
 def test_clip_area_ragged_clipper_and_subject():

@@ -79,3 +79,31 @@ def test_labels_via_join_matches_broadcast(synth, spark, sf_dir):
         return sorted((r.scene_id, r.win_index, tuple(r.px_sum), tuple(r.px_sumsq), r.label_mass) for r in df.collect())
 
     assert rows("broadcast") == rows("join")
+
+
+def test_labels_via_auto_probes_size(synth, spark, sf_dir, monkeypatch):
+    """'auto' picks the path from the MEASURED label-side size: under a
+    forced-tiny broadcast budget it must take the join path (asserted by
+    the absence of any driver-side broadcast build) and still produce the
+    identical chip table."""
+    import terrakit_spark.pipeline as P
+
+    pred = "(scene_id % 25) = 15"
+    cols = ["scene_id", "win_index", "label_mass"]
+
+    def rows(**kw):
+        df = P.chip_pipeline(spark, sf_dir, scene_pred=pred, **kw).select(*cols)
+        return sorted((r.scene_id, r.win_index, r.label_mass) for r in df.collect())
+
+    expected = rows(labels_via="broadcast")
+    # a zero budget forces the join path; prove it by making the broadcast
+    # build unreachable
+    monkeypatch.setattr(
+        spark.sparkContext, "broadcast",
+        lambda *_: (_ for _ in ()).throw(AssertionError("auto took the broadcast path")),
+    )
+    assert rows(labels_via="auto", broadcast_max_bytes=0) == expected
+    monkeypatch.undo()
+    # the default budget keeps the small synthetic layer on the broadcast path
+    assert P._label_bytes(spark, sf_dir) <= 64 << 20
+    assert rows(labels_via="auto") == expected
