@@ -144,6 +144,23 @@ COVERAGE_SCENE_PRED = "scene_id % 25 = 0"
 AREA_SCALE = "1.0e6"  # micro-deg^2: the integer unit both engines sum in
 
 
+def _coverage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair table for the coverage query family: (scene_id,
+    win_index, labelclass, area_u) — one row per (chip window, label) pair
+    with a positive exact intersection, the area scaled to integer
+    micro-deg^2 so every downstream rollup is an order-independent BIGINT
+    sum (the cross-engine determinism contract in the module docstring)."""
+    _register_views(spark, sf_dir)
+    tiles = _geo_tiles(spark, COVERAGE_SCENE_PRED)
+    polys = _diamond_polys(spark).select(
+        "label_id", "labelclass", "xmin", "ymin", "xmax", "ymax", "vertices"
+    )
+    pairs = tile_coverage_join(tiles, polys)
+    return pairs.withColumn(
+        "area_u", F.round(F.col("area") * F.lit(1e6), 0).cast("long")
+    ).filter(F.col("area_u") > 0)
+
+
 def tile_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chip-window exact label coverage over the scene_id % 25 = 0
     subset: window count, per-label area sum, and coverage fraction of the
@@ -151,13 +168,7 @@ def tile_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     count when their intersection is >= 1 micro-deg^2 after rounding, and
     sums run over exact BIGINT micro-units so the rollup is order-
     independent and hash-matches the DuckDB closed-form oracle."""
-    _register_views(spark, sf_dir)
-    tiles = _geo_tiles(spark, COVERAGE_SCENE_PRED)
-    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
-    pairs = tile_coverage_join(tiles, polys)
-    pairs = pairs.withColumn(
-        "area_u", F.round(F.col("area") * F.lit(1e6), 0).cast("long")
-    ).filter(F.col("area_u") > 0)
+    pairs = _coverage_pairs(spark, sf_dir)
     # tile area is exactly 4 deg^2: 256 px * 2^-7 deg/px = 2 deg per side
     return (
         pairs.groupBy("scene_id", "win_index")
@@ -175,10 +186,10 @@ def tile_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coverage_oracle() -> str:
-    """Closed-form DuckDB oracle: the rect x diamond intersection area as an
-    EXACT piecewise-linear integration. The vertical slice of the
-    intersection at abscissa x is
+def _oracle_areas_cte() -> str:
+    """Closed-form DuckDB pair table (CTE chain through `areas`): the
+    rect x diamond intersection area as an EXACT piecewise-linear
+    integration. The vertical slice of the intersection at abscissa x is
         h(x) = max(0, min(tymax, ytop(x)) - max(tymin, ybot(x))),
     ytop/ybot = cy +- ry*(1 - |x-cx|/rx) — piecewise linear with every kink
     at a closed-form abscissa: the diamond apex (cx), and the 8 crossings of
@@ -186,7 +197,8 @@ def _coverage_oracle() -> str:
     overlap in x) and sorting gives 10 segments on which h is LINEAR, so
     width * h(midpoint) integrates each segment exactly — no case analysis,
     no approximation. Per-pair areas are rounded to integer micro-deg^2
-    exactly like the engine, so the rollup compares as exact BIGINT sums."""
+    exactly like the engine, so every rollup compares as exact BIGINT sums.
+    Shared by the whole coverage query family's oracles."""
     res = RES_SQL
     pred = COVERAGE_SCENE_PRED
     ytop = "(cy + ry * (1 - abs((bp[i] + bp[i+1]) * 0.5 - cx) / rx))"
@@ -229,7 +241,7 @@ tiles AS (
 ),
 cand AS (
   SELECT t.scene_id, t.win_index, t.txmin, t.tymin, t.txmax, t.tymax,
-         l.cx, l.cy, l.rx, l.ry,
+         l.labelclass, l.cx, l.cy, l.rx, l.ry,
          greatest(t.txmin, l.cx - l.rx) AS x0,
          least(t.txmax, l.cx + l.rx) AS x1
   FROM tiles t JOIN labels l
@@ -237,11 +249,18 @@ cand AS (
    AND t.tymin <= l.cy + l.ry AND l.cy - l.ry <= t.tymax
 ),
 areas AS (
-  SELECT scene_id, win_index,
+  SELECT scene_id, win_index, labelclass,
          CAST(round({AREA_SCALE} * list_sum(list_transform(generate_series(1, 10),
               i -> {seg})), 0) AS BIGINT) AS area_u
   FROM (SELECT *, list_sort([x0, x1, {bps}]) AS bp FROM cand) _b
-)
+)"""
+    return body
+
+
+def _coverage_oracle() -> str:
+    body = (
+        _oracle_areas_cte()
+        + """
 SELECT scene_id, win_index,
        CAST(count(*) AS INT) AS n_labels,
        CAST(sum(area_u) AS DOUBLE) / 1e6 AS label_area,
@@ -250,7 +269,143 @@ FROM areas
 WHERE area_u > 0
 GROUP BY scene_id, win_index
 """
+    )
     return with_synth(DUCK, body, tables=["scenes", "labels"])
 
 
 register_df("tile_label_coverage", tile_label_coverage, oracle=_coverage_oracle())
+
+
+# --------------------------------------------------- chip selection by area
+# The reason the exact-coverage join exists (reference analogue:
+# /root/reference/terrakit/chip/chip_and_label.py keeps chips by burned-
+# pixel count): pick the training chips worth storing. Thresholds run on
+# the exact integer micro-units (coverage >= 0.25 <=> sum(area_u) >=
+# 1,000,000), the per-scene top-k is a row_number window over the ALREADY
+# AGGREGATED window table (bounded rows per scene — no global sort, the
+# TakeOrderedAndProject lesson), and the dominant class is an exact BIGINT
+# argmax with ties to the smallest class id.
+SELECTION_MIN_AU = 1_000_000  # coverage >= 0.25 of the 4 deg^2 tile
+SELECTION_TOP_K = 4
+
+
+def _window_class_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window rollup with per-class exact area sums (classes are 1..3
+    in the synthetic layer, mirroring the reference's EMSR label classes)."""
+    pairs = _coverage_pairs(spark, sf_dir)
+    cls = lambda c: F.sum(F.when(F.col("labelclass") == c, F.col("area_u")).otherwise(F.lit(0)))
+    return pairs.groupBy("scene_id", "win_index").agg(
+        F.count("*").cast("int").alias("n_labels"),
+        F.sum("area_u").alias("_au"),
+        cls(1).alias("_a1"),
+        cls(2).alias("_a2"),
+        cls(3).alias("_a3"),
+    )
+
+
+def _with_selection(win: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    dom_class = (
+        F.when((F.col("_a1") >= F.col("_a2")) & (F.col("_a1") >= F.col("_a3")), F.lit(1))
+        .when(F.col("_a2") >= F.col("_a3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    dom_au = F.greatest("_a1", "_a2", "_a3")
+    w = Window.partitionBy("scene_id").orderBy(F.col("_au").desc(), F.col("win_index"))
+    return (
+        win.filter(F.col("_au") >= SELECTION_MIN_AU)
+        .withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= SELECTION_TOP_K)
+        .withColumn("dom_class", dom_class.cast("int"))
+        .withColumn("_dom_au", dom_au)
+    )
+
+
+def coverage_chip_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chip selection: windows with exact label coverage >= 0.25,
+    top-4 per scene by coverage (ties broken by win_index — a total order,
+    so both engines rank identically), with the area-dominant label class."""
+    sel = _with_selection(_window_class_table(spark, sf_dir))
+    return sel.select(
+        "scene_id",
+        "win_index",
+        "sel_rank",
+        "n_labels",
+        (F.col("_au").cast("double") / F.lit(4e6)).alias("coverage"),
+        "dom_class",
+        (F.col("_dom_au").cast("double") / F.lit(1e6)).alias("dom_area"),
+    )
+
+
+def coverage_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balance of the SELECTED chip set (the quantity a curriculum
+    builder rebalances on): per dominant class, window count, total dominant
+    area, and mean coverage — all derived from exact integer sums, the one
+    division per output column done identically by both engines."""
+    sel = _with_selection(_window_class_table(spark, sf_dir))
+    return sel.groupBy("dom_class").agg(
+        F.count("*").cast("int").alias("n_windows"),
+        (F.sum("_dom_au").cast("double") / F.lit(1e6)).alias("total_dom_area"),
+        (F.sum("_au").cast("double") / (F.lit(4e6) * F.count("*"))).alias("mean_coverage"),
+    )
+
+
+def _selection_ctes() -> str:
+    """Oracle CTE chain win -> sel shared by the selection-family tails."""
+    return (
+        _oracle_areas_cte()
+        + f""",
+win AS (
+  SELECT scene_id, win_index,
+         CAST(count(*) AS INT) AS n_labels,
+         sum(area_u) AS au,
+         sum(CASE WHEN labelclass = 1 THEN area_u ELSE 0 END) AS a1,
+         sum(CASE WHEN labelclass = 2 THEN area_u ELSE 0 END) AS a2,
+         sum(CASE WHEN labelclass = 3 THEN area_u ELSE 0 END) AS a3
+  FROM areas WHERE area_u > 0
+  GROUP BY scene_id, win_index
+),
+sel AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY scene_id
+                                 ORDER BY au DESC, win_index) AS INT) AS sel_rank,
+         CAST(CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+                   WHEN a2 >= a3 THEN 2 ELSE 3 END AS INT) AS dom_class,
+         greatest(a1, a2, a3) AS dom_au
+  FROM win WHERE au >= {SELECTION_MIN_AU}
+)"""
+    )
+
+
+def _selection_oracle() -> str:
+    body = (
+        _selection_ctes()
+        + f"""
+SELECT scene_id, win_index, sel_rank, n_labels,
+       CAST(au AS DOUBLE) / 4e6 AS coverage,
+       dom_class,
+       CAST(dom_au AS DOUBLE) / 1e6 AS dom_area
+FROM sel WHERE sel_rank <= {SELECTION_TOP_K}
+"""
+    )
+    return with_synth(DUCK, body, tables=["scenes", "labels"])
+
+
+def _class_balance_oracle() -> str:
+    body = (
+        _selection_ctes()
+        + f"""
+SELECT dom_class,
+       CAST(count(*) AS INT) AS n_windows,
+       CAST(sum(dom_au) AS DOUBLE) / 1e6 AS total_dom_area,
+       CAST(sum(au) AS DOUBLE) / (4e6 * count(*)) AS mean_coverage
+FROM sel WHERE sel_rank <= {SELECTION_TOP_K}
+GROUP BY dom_class
+"""
+    )
+    return with_synth(DUCK, body, tables=["scenes", "labels"])
+
+
+register_df("coverage_chip_selection", coverage_chip_selection, oracle=_selection_oracle())
+register_df("coverage_class_balance", coverage_class_balance, oracle=_class_balance_oracle())

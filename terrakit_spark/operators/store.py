@@ -94,8 +94,10 @@ def _tortilla_fixture(spark, sf_dir: str) -> str:
     # two sf_dirs sharing a basename (.work/sf0.1 vs /root/testdata/sf0.1)
     # must not collide, and a writer-format change must force a rebuild
     # instead of silently validating stale bytes.
+    from terrakit_spark.synth import SYNTH_VERSION
+
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir.rstrip('/'))}|v{FORMAT_VERSION}".encode()
+        f"{os.path.abspath(sf_dir.rstrip('/'))}|v{FORMAT_VERSION}|s{SYNTH_VERSION}".encode()
     ).hexdigest()[:16]
     base = os.path.basename(sf_dir.rstrip("/"))
     work = f"/tmp/terrakit_tortilla_{base}_{key}"

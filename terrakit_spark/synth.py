@@ -35,6 +35,10 @@ from __future__ import annotations
 from terrakit_spark.dialect import DUCK, SPARK, D
 
 # ---------------------------------------------------------------- constants
+# Bump when any derived table's CONTENT changes: disk fixtures built from the
+# synth world (e.g. the tortilla container cache) key on this so a synth
+# change forces a rebuild instead of validating stale bytes.
+SYNTH_VERSION = 2
 RES = 0.0078125  # degrees per pixel = 2^-7 (exact binary)
 RES_SQL = "7.8125e-3"  # same value as a dialect-neutral DOUBLE literal
 CHIP = 256  # sample_dim, /root/reference/terrakit/chip/tiling.py:125
@@ -58,6 +62,10 @@ def labels_sql(dialect: str) -> str:
 
     One diamond (convex rhombus) per event with event_id % 3 == 0:
     vertices (cx-rx,cy), (cx,cy-ry), (cx+rx,cy), (cx,cy+ry).
+    labelclass cycles 1..3 via 1 + (e//3 % 3) — it must be derived from
+    e//3 because e itself is always ≡ 0 (mod 3) on this stream (the original
+    1 + e%3 form was constant 1, which silently left every class-priority
+    code path — burn overwrite order, dominant-class selection — untested).
     Point-in-diamond has the closed form |x-cx|/rx + |y-cy|/ry < 1, which the
     DuckDB oracle uses, while the engine runs the generic ray-cast UDF.
     Centers carry a tiny irrational-ish offset ((e%97)/7.77e3) so query
@@ -70,7 +78,7 @@ SELECT e AS label_id,
        e AS geom_seq,
        {dt} AS dt,
        {d.date_str(dt)} AS datetime,
-       CAST(1 + (e % 3) AS INT) AS labelclass,
+       CAST(1 + ({d.idiv('e', '3')} % 3) AS INT) AS labelclass,
        CASE WHEN (e % 10) < 3
             THEN 1.0e1 + (e % 16) * 1.25e-1 + ((e % 97) + 1) / 7.77e3
             ELSE ((e * 7) % 340) - 170 + 5.0e-1 + ((e % 97) + 1) / 7.77e3 END AS cx,
@@ -79,7 +87,7 @@ SELECT e AS label_id,
             ELSE ((e * 13) % 160) - 80 + 5.0e-1 + ((e % 89) + 1) / 8.88e3 END AS cy,
        2.5e-1 + (e % 4) * 1.25e-1 AS rx,
        2.5e-1 + (e % 3) * 1.25e-1 AS ry,
-       {d.fmt("label_%s_CLASS_%d_v1.json", d.date_token(dt), "CAST(1 + (e % 3) AS INT)")} AS filename
+       {d.fmt("label_%s_CLASS_%d_v1.json", d.date_token(dt), f"CAST(1 + ({d.idiv('e', '3')} % 3) AS INT)")} AS filename
 FROM (SELECT event_id AS e FROM events WHERE event_id % 3 = 0) _ev
 """
 
