@@ -38,6 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- code changed in round 6 (re-prove after edit) ---
     "tile_label_coverage",  # NEW closed-form DuckDB oracle (was rows-only)
+    "coverage_chip_selection",  # NEW this round (chunked clip kernel under it)
+    "coverage_class_balance",  # NEW this round (exercises varying labelclass)
+    "burn_histogram",  # labelclass now varies: burn overwrite order load-bearing
+    "burn_histogram_nodata",
     "polygon_overlap_join",  # salting now probe-driven
     "polygon_overlap_join_unsalted",  # same oracle: salt-invariance proof
     "spatial_join_pip",
