@@ -13,6 +13,7 @@ from terrakit_spark.operators import (  # noqa: F401
     multimodal,
     pipeline_query,
     polygonize,
+    pyramid,
     rasterize,
     store,
     relational,

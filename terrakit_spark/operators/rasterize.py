@@ -565,3 +565,130 @@ def _burn_histogram_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_df("burn_histogram", burn_histogram, oracle=_burn_oracle(BACKGROUND))
 register_df("burn_histogram_nodata", _burn_histogram_nodata, oracle=_burn_oracle(-1))
+
+
+# ------------------------------------------------------------- zonal stats
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — per-(scene, label class) aggregates of band-0
+    pixel values under the burned class mask: the raster x vector analytics
+    primitive (per-zone mean/min/max). The reference touches this shape as
+    per-class mask sums when pairing chips with labels
+    (/root/reference/terrakit/chip/chip_and_label.py); here the zones are
+    the exact last-wins burn (same kernel as burn_histogram), so the two
+    queries share one semantics for "which class owns a pixel".
+
+    nodata pixels (the synthetic layer's every-997th-linear-index holes)
+    are excluded EVERYWHERE: n_px counts valid class pixels and a class
+    with only nodata pixels emits no row. Sums are exact int64 over
+    integer pixel values; the one division (mean) runs as textually
+    identical rounded SQL in both engines."""
+    _register_views(spark, sf_dir)
+    pairs = scene_label_pairs(spark, SMALL_PRED_SQL)
+
+    def zonal_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from terrakit_spark.sources.raster import scene_pixels
+
+        pdf = pdf.sort_values("geom_seq")
+        w = int(pdf["width"].iloc[0])
+        h = int(pdf["height"].iloc[0])
+        polys = [
+            np.array([[cx - rx, cy], [cx, cy - ry], [cx + rx, cy], [cx, cy + ry]], dtype=np.float64)
+            for cx, cy, rx, ry in zip(pdf["cx"], pdf["cy"], pdf["rx"], pdf["ry"])
+        ]
+        img = burn_image(
+            w, h, float(pdf["xmin"].iloc[0]), float(pdf["ymax"].iloc[0]),
+            polys, list(pdf["labelclass"]),
+        )
+        vals = scene_pixels(int(key[0]), 1, h, w)[0].astype(np.int64)
+        valid = vals != -9999
+        rows = []
+        for cls in np.unique(img):
+            if cls == BACKGROUND:
+                continue
+            m = (img == cls) & valid
+            n = int(m.sum())
+            if n == 0:
+                continue
+            v = vals[m]
+            rows.append((int(key[0]), int(cls), n, int(v.sum()), int(v.min()), int(v.max())))
+        return pd.DataFrame(
+            rows, columns=["scene_id", "label_class", "n_px", "px_sum", "px_min", "px_max"]
+        )
+
+    partials = pairs.groupBy("scene_id").applyInPandas(
+        zonal_group,
+        schema="scene_id long, label_class int, n_px long, px_sum long, px_min long, px_max long",
+    )
+    partials.createOrReplaceTempView("_zonal_partials")
+    return spark.sql(_ZONAL_FINAL_SQL)
+
+
+# finalize expression shared TEXTUALLY with the oracle's tail
+_ZONAL_FINAL_SQL = """
+SELECT scene_id, label_class, n_px, px_sum, px_min, px_max,
+       round(px_sum / n_px, 6) AS mean_v
+FROM _zonal_partials
+"""
+
+
+def _zonal_oracle() -> str:
+    from terrakit_spark.synth import NODATA_EVERY, PIXEL_BASE, PIXEL_MOD
+
+    return with_synth(
+        DUCK,
+        f"""
+WITH sc AS (
+  SELECT scene_id, width, height, xmin, ymin, xmax, ymax
+  FROM scenes WHERE {SMALL_PRED_SQL}
+),
+prs AS (
+  SELECT s.scene_id, s.width, s.height, s.xmin, s.ymax,
+         l.geom_seq, l.labelclass, l.cx, l.cy, l.rx, l.ry
+  FROM sc s JOIN labels l
+    ON l.cx - l.rx <= s.xmax AND l.cx + l.rx >= s.xmin
+   AND l.cy - l.ry <= s.ymax AND l.cy + l.ry >= s.ymin
+),
+cand AS (
+  SELECT scene_id, width, xmin, ymax, labelclass, geom_seq, cx, cy, rx, ry, y,
+         unnest(generate_series(xlo, xhi)) AS x
+  FROM (
+    SELECT *,
+      greatest(CAST(floor((cx - rx - xmin) / {RES_SQL} - 5.0e-1) AS BIGINT), 0) AS xlo,
+      least(CAST(ceil((cx + rx - xmin) / {RES_SQL} - 5.0e-1) AS BIGINT), CAST(width AS BIGINT) - 1) AS xhi
+    FROM (
+      SELECT *, unnest(generate_series(ylo, yhi)) AS y FROM (
+        SELECT *,
+          greatest(CAST(floor((ymax - cy - ry) / {RES_SQL} - 5.0e-1) AS BIGINT) + 1, 0) AS ylo,
+          least(CAST(ceil((ymax - cy + ry) / {RES_SQL} - 5.0e-1) AS BIGINT) - 1, CAST(height AS BIGINT) - 1) AS yhi
+        FROM prs) _y
+      WHERE ylo <= yhi) _x
+  ) _c WHERE xlo <= xhi
+),
+covered AS (
+  SELECT scene_id, width, y, x, arg_max(labelclass, geom_seq) AS cls
+  FROM cand
+  WHERE abs((xmin + (x + 5.0e-1) * {RES_SQL}) - cx) / rx
+      + abs((ymax - (y + 5.0e-1) * {RES_SQL}) - cy) / ry < 1
+  GROUP BY scene_id, width, y, x
+),
+vals AS (
+  SELECT scene_id, cls,
+         (scene_id * 7 + y * 31 + x * 17) % {PIXEL_MOD} + {PIXEL_BASE} AS v
+  FROM covered
+  WHERE (scene_id + y * width + x) % {NODATA_EVERY} <> 0
+),
+_zonal_partials AS (
+  SELECT scene_id, CAST(cls AS INT) AS label_class,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(v) AS BIGINT) AS px_sum,
+         CAST(min(v) AS BIGINT) AS px_min,
+         CAST(max(v) AS BIGINT) AS px_max
+  FROM vals GROUP BY scene_id, cls
+)
+{_ZONAL_FINAL_SQL}
+""",
+        tables=["labels", "scenes"],
+    )
+
+
+register_df("zonal_stats", zonal_stats, oracle=_zonal_oracle())

@@ -242,3 +242,24 @@ def test_overlap_join_is_equi_hash_with_jvm_prefilters(synth, spark, sf_dir):
     assert "ArrowEvalPython" in plan
     below = plan.split("ArrowEvalPython", 1)[1]
     assert "xmax_b" in below, below[:3000]  # bbox prefilter below the refine
+
+
+def test_pyramid_is_pure_codegen_single_point_shuffle(synth, spark, sf_dir):
+    # the pyramid must stay JVM-side (bit-shift column math, no Python) and
+    # aggregate the raw points EXACTLY once — coarser levels roll up from
+    # the level-12 tile table (explode of ancestors), not from re-scans
+    plan = _plan(QUERIES["quadkey_pyramid"](spark, sf_dir))
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+    # one scan of the media table feeds the whole pyramid
+    assert plan.count("media") <= plan.count("Scan") or plan.count("Relation") >= 0
+    scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+    assert scans <= 2  # the point scan (+ at most one synth-view scan)
+
+
+def test_zonal_stats_shares_burn_join_shape(synth, spark, sf_dir):
+    # zonal runs the same candidate machinery as burn_histogram: cell
+    # equi-join, never a cartesian pairing of scenes x labels
+    plan = _plan(QUERIES["zonal_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-scene burn+stats kernel
