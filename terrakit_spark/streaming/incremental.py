@@ -297,3 +297,52 @@ def batch_first_seen(spark: SparkSession, input_dirs: list[str]) -> DataFrame:
         .filter("_rn = 1")
         .select("doc_id", "fingerprint")
     )
+
+
+# --------------------------------------------------- streaming tile pyramid
+MEDIA_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("my", T.DoubleType()),
+    ]
+)
+
+
+def tile_pyramid_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Continuously-maintained level-12 quadkey tile rollup of a media
+    point stream (the streaming face of operators/pyramid.py).
+
+    The streaming aggregation state is the TILE table — bounded by the
+    occupied-tile universe (<= 4^12 rows), NOT the point stream — which is
+    what makes a 10^12-point continuous ingest viable: every aggregate here
+    is decomposable (count/min/max), so each micro-batch folds into the
+    state in place and no per-point state ever accumulates. Coarser pyramid
+    levels cascade from this table in batch (quadkey_pyramid's
+    explode-of-ancestors rollup); the stream maintains only the finest
+    level, exactly the split a tile server wants (hot updates at the leaf,
+    cheap periodic republish of the pyramid)."""
+    from terrakit_spark.functions.cells import quadkey
+
+    src = spark.readStream.schema(MEDIA_POINT_SCHEMA).parquet(input_dir)
+    return src.groupBy(quadkey(F.col("mx"), F.col("my")).alias("qk")).agg(
+        F.count("*").alias("n_points"),
+        F.min("mx").alias("x_min"),
+        F.max("mx").alias("x_max"),
+        F.min("my").alias("y_min"),
+        F.max("my").alias("y_max"),
+    )
+
+
+def tile_pyramid_batch(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Batch-parity twin of tile_pyramid_stream over the same files."""
+    from terrakit_spark.functions.cells import quadkey
+
+    src = spark.read.schema(MEDIA_POINT_SCHEMA).parquet(input_dir)
+    return src.groupBy(quadkey(F.col("mx"), F.col("my")).alias("qk")).agg(
+        F.count("*").alias("n_points"),
+        F.min("mx").alias("x_min"),
+        F.max("mx").alias("x_max"),
+        F.min("my").alias("y_min"),
+        F.max("my").alias("y_max"),
+    )

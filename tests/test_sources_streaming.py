@@ -204,3 +204,26 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     drain()
     rows = [r for r in spark.read.parquet(out).collect() if r.window_start.hour == 10]
     assert len(rows) == 1 and rows[0].n == 2  # late row dropped, window not re-emitted
+
+
+def test_streaming_tile_pyramid_matches_batch(synth, spark, sf_dir, tmp_path):
+    # two-file incremental ingest: the second availableNow drain must fold
+    # the new points into the bounded tile state, landing exactly on the
+    # all-files batch aggregate
+    from terrakit_spark.streaming.incremental import (
+        run_available_now,
+        tile_pyramid_batch,
+        tile_pyramid_stream,
+    )
+
+    inp = str(tmp_path / "media_in")
+    media = spark.table("media").select("doc_num", "media_ref", "mx", "my")
+    media.filter("doc_num % 2 = 0").drop("doc_num").write.parquet(inp)
+    ckpt = str(tmp_path / "pyr_ckpt")
+    run_available_now(tile_pyramid_stream(spark, inp), ckpt, "tile_pyr")
+    # second batch of files arrives; same checkpoint resumes the state
+    media.filter("doc_num % 2 = 1").drop("doc_num").write.mode("append").parquet(inp)
+    run_available_now(tile_pyramid_stream(spark, inp), ckpt, "tile_pyr")
+    got = {tuple(r) for r in spark.table("tile_pyr").collect()}
+    want = {tuple(r) for r in tile_pyramid_batch(spark, inp).collect()}
+    assert got == want and len(want) > 0
