@@ -83,6 +83,20 @@ def pip_expr(px: str, py: str, verts: str):
     )
 
 
+def _ray_cast_chunked(px: np.ndarray, py: np.ndarray, polys: np.ndarray) -> np.ndarray:
+    """ray_cast over cache-resident slices — same DRAM story as the clip
+    kernels (each edge pass streams ~8 (B,) temporaries): measured 2.5x at
+    multi-million-row batches, bit-identical (pure batch split)."""
+    n = len(px)
+    if n <= _KERNEL_CHUNK:
+        return ray_cast(px, py, polys)
+    out = np.empty(n, dtype=bool)
+    for i in range(0, n, _KERNEL_CHUNK):
+        j = min(i + _KERNEL_CHUNK, n)
+        out[i:j] = ray_cast(px[i:j], py[i:j], polys[i:j])
+    return out
+
+
 def _pip_fn(px: pd.Series, py: pd.Series, verts: pd.Series) -> pd.Series:
     if len(px) == 0:
         return pd.Series([], dtype=bool)
@@ -92,7 +106,9 @@ def _pip_fn(px: pd.Series, py: pd.Series, verts: pd.Series) -> pd.Series:
         polys = np.asarray(arr.tolist(), dtype=np.float64).reshape(len(arr), -1, 2)
     except ValueError:
         polys = _pad_vertices(verts)
-    return pd.Series(ray_cast(px.to_numpy(np.float64), py.to_numpy(np.float64), polys))
+    return pd.Series(
+        _ray_cast_chunked(px.to_numpy(np.float64), py.to_numpy(np.float64), polys)
+    )
 
 
 _pip_udf = None
@@ -105,6 +121,36 @@ def point_in_polygon(px, py, verts):
     if _pip_udf is None:
         _pip_udf = pandas_udf(_pip_fn, "boolean")
     return _pip_udf(px, py, verts)
+
+
+def point_in_polygon_bcast(spark, keys: np.ndarray, polys: np.ndarray, key_col, px, py):
+    """Ray-cast PIP with the polygon GEOMETRY broadcast instead of shipped
+    per candidate row: the Arrow transfer carries (px, py, key) — three
+    scalars — and the UDF resolves key -> padded vertex row with one
+    vectorized searchsorted into the broadcast cube. Kills both the
+    JVM-side Arrow serialization of the nested vertex array (the measured
+    dominant cost of the refine at sf1) AND the vertex bytes in the
+    exploded polygon side's shuffle. The dimension must be driver-sized
+    (N_polys x max_nv x 2 float64 — ~21 MB at sf1's 330k polygons);
+    callers gate on a size probe, the column path remains the default.
+
+    keys MUST be sorted ascending (asserted); every key_col value must be
+    present (joined candidates came from this very polygon table)."""
+    assert len(keys) == 0 or bool(np.all(np.diff(keys) > 0))
+    b = spark.sparkContext.broadcast((keys, polys))
+
+    def f(k: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(k) == 0:
+            return pd.Series([], dtype=bool)
+        bk, bp = b.value
+        idx = np.searchsorted(bk, k.to_numpy(np.int64))
+        return pd.Series(
+            _ray_cast_chunked(
+                x.to_numpy(np.float64), y.to_numpy(np.float64), bp[idx]
+            )
+        )
+
+    return pandas_udf(f, "boolean")(key_col, px, py)
 
 
 # ------------------------------------------------------- convex SAT overlap

@@ -54,6 +54,8 @@ def cell_pip_join(
     n_salts: int = 0,
     cell_deg: float | None = None,
     candidate_filter=None,
+    verts_via: str = "auto",
+    verts_key: str = "label_id",
 ) -> DataFrame:
     """points(px, py, ...) x polys(xmin..ymax bbox cols, vertices flat
     [x0,y0,...], ...) -> matched pairs (all columns from both sides).
@@ -71,6 +73,37 @@ def cell_pip_join(
         cell_deg = (
             adaptive_cell_deg(points, px, py, polys) if _adaptive_default() else FIXED_CELL_DEG
         )
+    bcast_geom = None
+    if verts_via == "auto":
+        # auto: broadcast the geometry when the polygon dimension is
+        # driver-sized (memoized count probe, the labels_via pattern) and
+        # a sortable key exists; column path otherwise. 2M quads pad to a
+        # ~128 MB cube — comfortably under executor broadcast budgets.
+        verts_via = (
+            "broadcast"
+            if verts_key in polys.columns and _polys_rows(polys) <= VERTS_BCAST_MAX_ROWS
+            else "column"
+        )
+    if verts_via == "broadcast":
+        # verts_via="broadcast": the refine resolves geometry from a
+        # broadcast (keys, padded-vertex-cube) pair instead of shipping the
+        # nested vertex array per candidate row — kills the dominant Arrow
+        # serialization cost of the refine AND removes the vertex bytes
+        # from the exploded polygon side's shuffle. Driver-sized dimension
+        # only (~21 MB at sf1's 330k polygons); the output drops the
+        # vertices column. Same refined rows at any setting — the shared
+        # oracle across the spatial_join_pip variants is the proof.
+        import numpy as np
+        import pandas as pd
+
+        from terrakit_spark.functions.geometry import _pad_vertices
+
+        rows = polys.select(verts_key, vertices).collect()
+        rows.sort(key=lambda r: r[0])
+        keys = np.array([r[0] for r in rows], dtype=np.int64)
+        cube = _pad_vertices(pd.Series([list(r[1]) for r in rows]))
+        bcast_geom = (keys, cube)
+        polys = polys.drop(vertices)
     p = with_point_cell(points, px, py, out="_cell", cell_deg=cell_deg)
     g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     if n_salts > 0:
@@ -101,8 +134,19 @@ def cell_pip_join(
     # exact refine: Arrow-batched ray-cast UDF. (A pure-SQL higher-order
     # ray-cast was measured 4x SLOWER — Spark HOFs don't codegen; the Arrow
     # round-trip beats interpreted per-edge lambdas. Spark only ships the
-    # UDF's input columns to Python, so the transfer is px, py, verts.)
-    hit = cand.filter(point_in_polygon(F.col(px), F.col(py), F.col(vertices)))
+    # UDF's input columns to Python, so the transfer is px, py, verts —
+    # or px, py, key in the broadcast-geometry mode.)
+    if bcast_geom is not None:
+        from terrakit_spark.functions.geometry import point_in_polygon_bcast
+
+        hit = cand.filter(
+            point_in_polygon_bcast(
+                points.sparkSession, bcast_geom[0], bcast_geom[1],
+                F.col(verts_key), F.col(px), F.col(py),
+            )
+        )
+    else:
+        hit = cand.filter(point_in_polygon(F.col(px), F.col(py), F.col(vertices)))
     return hit.drop("_cell", "_salt") if n_salts > 0 else hit.drop("_cell")
 
 
@@ -241,7 +285,12 @@ def spatial_join_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     points = spark.table("media").select("media_ref", "mx", "my")
     polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
-    return cell_pip_join(points, polys, n_salts=8).select("media_ref", "label_id")
+    # verts_via pinned to "column": keeps the per-row vertex-shipping
+    # refine driver-proven now that the auto default broadcasts geometry
+    # (this variant therefore exercises salted shuffle + column refine)
+    return cell_pip_join(points, polys, n_salts=8, verts_via="column").select(
+        "media_ref", "label_id"
+    )
 
 
 register_df("spatial_join_pip_salted", spatial_join_pip_salted, oracle=_ORACLE)
@@ -334,6 +383,30 @@ def adaptive_cell_deg(
 
 
 _SALT_CACHE: dict = {}
+_NROWS_CACHE: dict = {}
+VERTS_BCAST_MAX_ROWS = 2_000_000  # ~128 MB padded quad cube
+
+
+def _polys_rows(polys: DataFrame) -> int:
+    """Memoized row-count probe (per application + semantic plan): the
+    verts_via='auto' gate. One count job per distinct polygon layer,
+    amortized across every join that reuses it — same contract as
+    probe_salts/adaptive_cell_deg."""
+    try:
+        key = (
+            polys.sparkSession.sparkContext.applicationId,
+            polys._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _NROWS_CACHE:
+        return _NROWS_CACHE[key]
+    n = polys.count()
+    if key is not None:
+        if len(_NROWS_CACHE) > 256:
+            _NROWS_CACHE.clear()
+        _NROWS_CACHE[key] = n
+    return n
 
 
 def probe_salts(a_cells: DataFrame, b_cells: DataFrame, max_salts: int = 64) -> int:
@@ -405,6 +478,22 @@ def spatial_join_pip_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_df("spatial_join_pip_adaptive", spatial_join_pip_adaptive, oracle=_ORACLE)
+
+
+def spatial_join_pip_bcastverts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join with the polygon geometry broadcast into the refine
+    (verts_via="broadcast"): the Arrow transfer per candidate is (key, px,
+    py) — three scalars — instead of the nested vertex array, which is the
+    measured dominant cost of the refine at sf1. Pinned to the IDENTICAL
+    oracle as spatial_join_pip: geometry routing is a physical device and
+    must be invisible in the output."""
+    _register_views(spark, sf_dir)
+    points = spark.table("media").select("media_ref", "mx", "my")
+    polys = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
+    return cell_pip_join(points, polys, verts_via="broadcast").select("media_ref", "label_id")
+
+
+register_df("spatial_join_pip_bcastverts", spatial_join_pip_bcastverts, oracle=_ORACLE)
 
 
 SAMPLE_MOD = 7  # keep ~1/7 of join-output pairs
