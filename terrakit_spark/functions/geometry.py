@@ -444,6 +444,39 @@ def rect_intersection_area(verts, x0, y0, x1, y1):
     return _rect_area_udf(verts, x0, y0, x1, y1)
 
 
+def rect_intersection_area_bcast(spark, keys: np.ndarray, polys: np.ndarray,
+                                 ns: np.ndarray, key_col, x0, y0, x1, y1):
+    """rect_intersection_area with the polygon geometry broadcast (the
+    point_in_polygon_bcast pattern): the Arrow transfer per pair is
+    (key + 4 rect scalars) instead of the nested vertex array; geometry
+    resolves via one vectorized searchsorted into the broadcast padded
+    cube. keys must be sorted ascending; driver-sized dimensions only —
+    callers gate on a size probe."""
+    assert len(keys) == 0 or bool(np.all(np.diff(keys) > 0))
+    b = spark.sparkContext.broadcast((keys, polys, ns))
+
+    def f(k: pd.Series, rx0: pd.Series, ry0: pd.Series,
+          rx1: pd.Series, ry1: pd.Series) -> pd.Series:
+        if len(k) == 0:
+            return pd.Series([], dtype=np.float64)
+        bk, bp, bn = b.value
+        idx = np.searchsorted(bk, k.to_numpy(np.int64))
+        return pd.Series(
+            _run_chunked(
+                clip_area_rect,
+                len(k),
+                bp[idx],
+                bn[idx],
+                rx0.to_numpy(np.float64),
+                ry0.to_numpy(np.float64),
+                rx1.to_numpy(np.float64),
+                ry1.to_numpy(np.float64),
+            )
+        )
+
+    return pandas_udf(f, "double")(key_col, x0, y0, x1, y1)
+
+
 def _poly_area_fn(va: pd.Series) -> pd.Series:
     if len(va) == 0:
         return pd.Series([], dtype=np.float64)

@@ -46,7 +46,12 @@ TILE_CELL_DEG = 1.0  # chip windows are 2 deg; the 0.125-deg point grid would
 
 
 def tile_coverage_join(
-    tiles: DataFrame, polys: DataFrame, cell_deg: float = TILE_CELL_DEG, n_salts: int | None = None
+    tiles: DataFrame,
+    polys: DataFrame,
+    cell_deg: float = TILE_CELL_DEG,
+    n_salts: int | None = None,
+    verts_via: str = "auto",
+    verts_key: str = "label_id",
 ) -> DataFrame:
     """tiles(txmin..tymax axis-aligned rects) x polys(xmin..ymax bbox,
     vertices) -> pairs + exact intersection `area` (only area > 0 pairs
@@ -64,6 +69,33 @@ def tile_coverage_join(
     over the unexploded layer), so those pairs never pay the clip kernel or
     its Arrow transfer. Only boundary-crossing pairs hit clip_area_rect."""
     polys = polys.withColumn("_parea", polygon_area(F.col("vertices")))
+    bcast_geom = None
+    if verts_via == "auto":
+        from terrakit_spark.operators.spatial_join import VERTS_BCAST_MAX_ROWS, _polys_rows
+
+        verts_via = (
+            "broadcast"
+            if verts_key in polys.columns and _polys_rows(polys) <= VERTS_BCAST_MAX_ROWS
+            else "column"
+        )
+    if verts_via == "broadcast":
+        # broadcast-geometry refine (the cell_pip_join pattern): the clip
+        # kernel resolves vertices from a broadcast (keys, cube, counts)
+        # triple via vectorized searchsorted, so the Arrow transfer per
+        # crossing pair is (key + 4 rect scalars) — the nested vertex
+        # array neither serializes per pair nor rides the salted shuffle.
+        import numpy as np
+        import pandas as pd
+
+        from terrakit_spark.functions.geometry import _pad_vertices
+
+        rows = polys.select(verts_key, "vertices").collect()
+        rows.sort(key=lambda r: r[0])
+        keys = np.array([r[0] for r in rows], dtype=np.int64)
+        ns = np.array([len(r[1]) // 2 for r in rows], dtype=np.int64)
+        cube = _pad_vertices(pd.Series([list(r[1]) for r in rows]))
+        bcast_geom = (keys, cube, ns)
+        polys = polys.drop("vertices")
     t = with_cover_cells(tiles, "txmin", "tymin", "txmax", "tymax", out="_cell", cell_deg=cell_deg)
     g = with_cover_cells(polys, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     if n_salts is None:
@@ -102,12 +134,19 @@ def tile_coverage_join(
     # actually skips the kernel for contained pairs (the common case:
     # labels are <= 1.25 deg wide vs 2-deg tiles)
     inside = cand.filter(contained).withColumn("area", F.col("_parea"))
-    crossing = cand.filter(~contained).withColumn(
-        "area",
-        rect_intersection_area(
+    if bcast_geom is not None:
+        from terrakit_spark.functions.geometry import rect_intersection_area_bcast
+
+        area_col = rect_intersection_area_bcast(
+            tiles.sparkSession, bcast_geom[0], bcast_geom[1], bcast_geom[2],
+            F.col(verts_key),
+            F.col("txmin"), F.col("tymin"), F.col("txmax"), F.col("tymax"),
+        )
+    else:
+        area_col = rect_intersection_area(
             F.col("vertices"), F.col("txmin"), F.col("tymin"), F.col("txmax"), F.col("tymax")
-        ),
-    )
+        )
+    crossing = cand.filter(~contained).withColumn("area", area_col)
     out = inside.unionByName(crossing)
     return out.filter(F.col("area") > 0.0).drop("_cell", "_parea")
 
