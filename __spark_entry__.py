@@ -40,6 +40,9 @@ _PRIORITY = [
     "tile_label_coverage",  # NEW closed-form DuckDB oracle (was rows-only)
     "coverage_chip_selection",  # NEW this round (chunked clip kernel under it)
     "coverage_class_balance",  # NEW this round (exercises varying labelclass)
+    "quadkey_pyramid",  # NEW this round (cascade-vs-direct cross-plan proof)
+    "zonal_stats",  # NEW this round (burn-mask pixel-value stats)
+    "spatial_join_pip_bcastverts",  # NEW this round (broadcast-geometry refine)
     "burn_histogram",  # labelclass now varies: burn overwrite order load-bearing
     "burn_histogram_nodata",
     "polygon_overlap_join",  # salting now probe-driven
