@@ -220,6 +220,38 @@ def convex_overlap_depth(verts_a, verts_b):
     return _overlap_udf(verts_a, verts_b)
 
 
+def convex_overlap_depth_bcast(spark, keys_a: np.ndarray, cube_a: np.ndarray,
+                               keys_b: np.ndarray, cube_b: np.ndarray,
+                               key_a_col, key_b_col):
+    """SAT separation depth with BOTH polygon layers' geometry broadcast
+    (the point_in_polygon_bcast pattern, doubled): the Arrow transfer per
+    candidate pair is two int64 keys instead of two nested vertex arrays;
+    each side resolves via one vectorized searchsorted. The SAT kernel runs
+    over cache-resident slices (it streams ~6 (B,) temporaries per axis
+    pass — same DRAM story as the clip kernels). keys must be sorted
+    ascending; driver-sized layers only — callers gate on a size probe."""
+    assert len(keys_a) == 0 or bool(np.all(np.diff(keys_a) > 0))
+    assert len(keys_b) == 0 or bool(np.all(np.diff(keys_b) > 0))
+    b = spark.sparkContext.broadcast((keys_a, cube_a, keys_b, cube_b))
+
+    def f(ka: pd.Series, kb: pd.Series) -> pd.Series:
+        n = len(ka)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        bka, bca, bkb, bcb = b.value
+        ia = np.searchsorted(bka, ka.to_numpy(np.int64))
+        ib = np.searchsorted(bkb, kb.to_numpy(np.int64))
+        if n <= _KERNEL_CHUNK:
+            return pd.Series(sat_depth(bca[ia], bcb[ib]))
+        out = np.empty(n, dtype=np.float64)
+        for i in range(0, n, _KERNEL_CHUNK):
+            j = min(i + _KERNEL_CHUNK, n)
+            out[i:j] = sat_depth(bca[ia[i:j]], bcb[ib[i:j]])
+        return pd.Series(out)
+
+    return pandas_udf(f, "double")(key_a_col, key_b_col)
+
+
 # ------------------------------------------- convex intersection area (S-H)
 def _clip_step(
     curx: np.ndarray,

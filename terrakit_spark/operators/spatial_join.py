@@ -564,6 +564,8 @@ def convex_overlap_join(
     cell_deg: float = OVERLAP_CELL_DEG,
     eps: float = OVERLAP_EPS,
     n_salts: int | None = None,
+    verts_via: str = "auto",
+    verts_key: str = "label_id",
 ) -> DataFrame:
     """Exact interiors-intersect join of two convex-polygon layers, each
     with (xmin, ymin, xmax, ymax, vertices) columns; the b side's columns
@@ -601,6 +603,38 @@ def convex_overlap_join(
     n_salts=None (default) decides from the probe_salts density probe —
     the measured hottest-cell candidate product, same pattern as
     adaptive_cell_deg. Pass 0 to force unsalted, >0 to force a fan."""
+    bcast_geom = None
+    if verts_via == "auto":
+        verts_via = (
+            "broadcast"
+            if verts_key in polys_a.columns
+            and verts_key in polys_b.columns
+            and _polys_rows(polys_a) <= VERTS_BCAST_MAX_ROWS
+            and _polys_rows(polys_b) <= VERTS_BCAST_MAX_ROWS
+            else "column"
+        )
+    if verts_via == "broadcast":
+        # broadcast-geometry refine, BOTH sides: each candidate pair ships
+        # two int64 keys over Arrow instead of two nested vertex arrays,
+        # and neither layer's vertex bytes ride the cover-cell explode or
+        # the salted shuffle. Driver-sized layers only (gated above).
+        import numpy as np
+        import pandas as pd
+
+        from terrakit_spark.functions.geometry import _pad_vertices
+
+        def _collect(layer):
+            rows = layer.select(verts_key, "vertices").collect()
+            rows.sort(key=lambda r: r[0])
+            keys = np.array([r[0] for r in rows], dtype=np.int64)
+            cube = _pad_vertices(pd.Series([list(r[1]) for r in rows]))
+            return keys, cube
+
+        ka, ca = _collect(polys_a)
+        kb, cb = _collect(polys_b)
+        bcast_geom = (ka, ca, kb, cb)
+        polys_a = polys_a.drop("vertices")
+        polys_b = polys_b.drop("vertices")
     b = polys_b.select([F.col(c).alias(f"{c}_b") for c in polys_b.columns])
     a_cells = with_cover_cells(polys_a, "xmin", "ymin", "xmax", "ymax", out="_cell", cell_deg=cell_deg)
     b_cells = with_cover_cells(b, "xmin_b", "ymin_b", "xmax_b", "ymax_b", out="_cell", cell_deg=cell_deg)
@@ -638,7 +672,16 @@ def convex_overlap_join(
         & (F.col("ymin") <= F.col("ymax_b"))
         & (F.col("ymin_b") <= F.col("ymax"))
     )
-    hit = cand.filter(convex_overlap_depth(F.col("vertices"), F.col("vertices_b")) > F.lit(eps))
+    if bcast_geom is not None:
+        from terrakit_spark.functions.geometry import convex_overlap_depth_bcast
+
+        depth = convex_overlap_depth_bcast(
+            polys_a.sparkSession, bcast_geom[0], bcast_geom[1], bcast_geom[2], bcast_geom[3],
+            F.col(verts_key), F.col(f"{verts_key}_b"),
+        )
+    else:
+        depth = convex_overlap_depth(F.col("vertices"), F.col("vertices_b"))
+    hit = cand.filter(depth > F.lit(eps))
     return hit.drop("_cell")
 
 
@@ -666,7 +709,10 @@ def _polygon_overlap_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFram
     d = _diamond_polys(spark).select("label_id", "xmin", "ymin", "xmax", "ymax", "vertices")
     a = d.filter("label_id % 2 = 0")
     b = d.filter("label_id % 2 = 1")
-    return convex_overlap_join(a, b, n_salts=0).select(
+    # verts_via pinned to "column" (like spatial_join_pip_salted): with the
+    # auto default broadcasting geometry, this variant keeps the per-row
+    # vertex-shipping SAT refine driver-proven on the identical oracle
+    return convex_overlap_join(a, b, n_salts=0, verts_via="column").select(
         F.col("label_id").alias("label_a"), F.col("label_id_b").alias("label_b")
     )
 
